@@ -1,0 +1,126 @@
+"""Geometry parity tests: our pure-math solvers vs OpenCV's C++ ones."""
+
+import cv2
+import numpy as np
+import pytest
+
+from bugcar_image_segmentation_tpu import geometry
+
+
+def random_quad(rng, spread=200.0):
+    """A random non-degenerate convex-ish quad."""
+    base = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    return (base * spread + rng.normal(scale=spread * 0.05, size=(4, 2))
+            + rng.uniform(0, 100, size=(1, 2)))
+
+
+class TestPerspectiveTransform:
+    def test_matches_cv2_on_random_quads(self, rng):
+        for _ in range(50):
+            src = random_quad(rng).astype(np.float32)
+            dst = random_quad(rng).astype(np.float32)
+            ours = geometry.get_perspective_transform(src, dst)
+            cv = cv2.getPerspectiveTransform(src, dst)
+            np.testing.assert_allclose(ours, cv, rtol=1e-5, atol=1e-5)
+
+    def test_maps_points_exactly(self, rng):
+        src = random_quad(rng)
+        dst = random_quad(rng)
+        m = geometry.get_perspective_transform(src, dst)
+        np.testing.assert_allclose(
+            geometry.apply_homography(m, src), dst, atol=1e-8)
+
+    def test_identity(self):
+        pts = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=np.float64)
+        m = geometry.get_perspective_transform(pts, pts)
+        np.testing.assert_allclose(m, np.eye(3), atol=1e-9)
+
+    def test_inverse_roundtrip(self, rng):
+        src, dst = random_quad(rng), random_quad(rng)
+        m = geometry.get_perspective_transform(src, dst)
+        minv = geometry.invert_homography(m)
+        np.testing.assert_allclose(
+            geometry.apply_homography(minv, dst), src, atol=1e-6)
+
+    def test_rejects_bad_shapes(self):
+        with pytest.raises(ValueError):
+            geometry.get_perspective_transform(
+                np.zeros((3, 2)), np.zeros((4, 2)))
+
+
+class TestOrderPoints:
+    def test_axis_aligned_square(self):
+        # Square centred at origin, axis pointing along +x.
+        pts = np.array([[1.0, 1.0], [1.0, -1.0], [-1.0, -1.0], [-1.0, 1.0]])
+        axis = np.array([[0.0, 0.0], [100.0, 0.0]])
+        out = geometry.order_points_counter_clockwise(pts, axis)
+        # Left side (y >= 0) sorted by x, then right side (y < 0) sorted by x.
+        expected = np.array([[-1.0, 1.0], [1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]])
+        np.testing.assert_allclose(out, expected)
+
+    def test_rotation_invariant_correspondence(self, rng):
+        """Rotating both points and axis must preserve the ordering indices."""
+        pts = np.array([[1.0, 1.0], [1.0, -1.0], [-1.0, -1.0], [-1.0, 1.0]])
+        axis = np.array([[0.0, 0.0], [100.0, 0.0]])
+        base = geometry.order_points_counter_clockwise(pts, axis)
+        base_order = [int(np.argmin(np.linalg.norm(pts - p, axis=1)))
+                      for p in base]
+        for theta in rng.uniform(-np.pi, np.pi, size=10):
+            c, s = np.cos(theta), np.sin(theta)
+            rot = np.array([[c, -s], [s, c]])
+            out = geometry.order_points_counter_clockwise(
+                pts @ rot.T, axis @ rot.T)
+            order = [int(np.argmin(np.linalg.norm(pts @ rot.T - p, axis=1)))
+                     for p in out]
+            assert order == base_order, f"ordering changed under yaw {theta}"
+
+    def test_does_not_mutate_inputs(self):
+        pts = np.ones((4, 2))
+        axis = np.array([[1.0, 2.0], [3.0, 4.0]])
+        axis_copy = axis.copy()
+        geometry.order_points_counter_clockwise(pts, axis)
+        np.testing.assert_array_equal(axis, axis_copy)
+
+
+class TestLineIntersection:
+    def test_simple_cross(self):
+        p = geometry.find_intersection_line([(0, 0), (2, 2)], [(0, 2), (2, 0)])
+        np.testing.assert_allclose(p, [1.0, 1.0])
+
+    def test_vertical_line(self):
+        p = geometry.find_intersection_line([(1, -5), (1, 5)], [(0, 0), (2, 2)])
+        np.testing.assert_allclose(p, [1.0, 1.0])
+
+    def test_parallel_returns_none(self):
+        assert geometry.find_intersection_line(
+            [(0, 0), (1, 1)], [(0, 1), (1, 2)]) is None
+
+    def test_two_vertical_parallel(self):
+        assert geometry.find_intersection_line(
+            [(0, 0), (0, 5)], [(1, 0), (1, 5)]) is None
+
+
+class TestBEVCorners:
+    def test_zero_yaw_geometry(self):
+        out = geometry.bev_tile_corners(
+            output_shape=(512, 512), dist2target=(0.0, 100.0),
+            tile_length=60.0, cm_per_px=1.0, yaw=0.0)
+        # Target sits at (256, 412); half tile = 30 px.
+        target = np.array([256.0, 412.0])
+        np.testing.assert_allclose(np.mean(out, axis=0), target)
+        for corner in out:
+            np.testing.assert_allclose(
+                np.abs(corner - target), [30.0, 30.0])
+
+    def test_full_matrix_maps_tile_to_bev(self, rng):
+        tile_img = random_quad(rng, spread=100.0) + np.array([[200.0, 150.0]])
+        axis = np.array([[0.0, 0.0], [100.0, 0.0]])
+        tile_img = geometry.order_points_counter_clockwise(
+            tile_img, axis + np.mean(tile_img, axis=0))
+        m = geometry.calculate_transform_matrix(
+            tile_img, output_shape=(512, 512), dist2target=(10.0, 120.0),
+            tile_length=60.0, cm_per_px=1.0, yaw=0.3)
+        expected = geometry.bev_tile_corners(
+            (512, 512), (10.0, 120.0), 60.0, 1.0, 0.3)
+        got = geometry.apply_homography(m, tile_img.astype(np.float32))
+        np.testing.assert_allclose(got, expected, atol=1e-3)
