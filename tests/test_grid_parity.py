@@ -1,0 +1,123 @@
+"""End-to-end grid parity: jitted OccupancyGridBuilder vs the cv2 oracle.
+
+The oracle (tests/reference_impl.py) replays the reference's exact pipeline
+with real cv2 kernels.  The only tolerated deviation is the warp's ~4 ppm
+float32 tie-pixel effect (ops/warp.py), which can shift a handful of cells
+per frame; everything downstream is bit-exact, so we assert a tight
+per-frame mismatch budget (and zero mismatch for the nearest-warp runs of
+the same machinery against itself).
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+from bugcar_image_segmentation_tpu import geometry
+from bugcar_image_segmentation_tpu.configs import CalibrationConfig, GridConfig
+from bugcar_image_segmentation_tpu.grid import OccupancyGridBuilder
+
+import reference_impl
+
+
+def make_calibration(laserscan=False, out=(512, 512), inp=(512, 256),
+                     yaw=0.12):
+    cal = CalibrationConfig(
+        input_shape=inp, output_shape=out, dist2target=(5.0, 110.0),
+        tile_length=60.0, cm_per_px=2.0, yaw=yaw, laserscan=laserscan)
+    tile = np.array([[210.0, 170.0], [305.0, 168.0],
+                     [330.0, 235.0], [185.0, 242.0]])
+    m = geometry.calculate_transform_matrix(
+        tile, output_shape=out, dist2target=cal.dist2target,
+        tile_length=cal.tile_length, cm_per_px=cal.cm_per_px, yaw=cal.yaw)
+    return cal.with_matrix(m)
+
+
+def blobby_segmap(rng, shape, num_classes=3, cells=(12, 24)):
+    base = rng.integers(0, num_classes, size=cells).astype(np.uint8)
+    return cv2.resize(base, (shape[1], shape[0]),
+                      interpolation=cv2.INTER_NEAREST)
+
+
+GRID = GridConfig(width_m=8.0, height_m=8.0, cell_m=0.1)
+
+
+class TestMulticlassParity:
+    @pytest.mark.parametrize("laserscan", [False, True])
+    def test_matches_oracle(self, rng, laserscan):
+        cal = make_calibration(laserscan)
+        builder = OccupancyGridBuilder(cal, GRID, mode="multiclass")
+        budget = 0
+        for _ in range(4):
+            seg = blobby_segmap(rng, (256, 512))
+            want = reference_impl.create_occupancy_grid(seg, cal, GRID)
+            got = np.asarray(builder(seg))
+            assert got.shape == want.shape == (80, 80)
+            assert got.dtype == want.dtype == np.int8
+            budget += int((got != want).sum())
+        # warp tie pixels can shift a few cells per frame; everything else
+        # must agree exactly.
+        assert budget <= 8, f"{budget} mismatched cells over 4 frames"
+
+    def test_value_domain(self, rng):
+        cal = make_calibration(False)
+        builder = OccupancyGridBuilder(cal, GRID)
+        got = np.asarray(builder(blobby_segmap(rng, (256, 512))))
+        assert set(np.unique(got)) <= {-1, 0, 100}
+
+    def test_batched_matches_single(self, rng):
+        cal = make_calibration(False)
+        builder = OccupancyGridBuilder(cal, GRID)
+        segs = np.stack([blobby_segmap(rng, (256, 512)) for _ in range(3)])
+        batched = np.asarray(builder(segs))
+        for i in range(3):
+            np.testing.assert_array_equal(batched[i],
+                                          np.asarray(builder(segs[i])))
+
+    def test_wide_template_crop_branch(self, rng):
+        """Template wider than the warp output (left_x < 0) — exercises the
+        asymmetric zero-padding of reference bev.py:183-194."""
+        cal = make_calibration(False, out=(300, 512))
+        builder = OccupancyGridBuilder(cal, GRID)
+        seg = blobby_segmap(rng, (256, 512))
+        want = reference_impl.create_occupancy_grid(seg, cal, GRID)
+        got = np.asarray(builder(seg))
+        assert int((got != want).sum()) <= 2
+
+    def test_nearest_interpolation_mode(self, rng):
+        cal = make_calibration(False)
+        builder = OccupancyGridBuilder(cal, GRID, interpolation="nearest")
+        got = np.asarray(builder(blobby_segmap(rng, (256, 512))))
+        assert set(np.unique(got)) <= {-1, 0, 100}
+
+
+class TestBinaryParity:
+    @pytest.mark.parametrize("laserscan", [False, True])
+    def test_matches_oracle(self, rng, laserscan):
+        cal = make_calibration(laserscan)
+        builder = OccupancyGridBuilder(cal, GRID, mode="binary")
+        budget = 0
+        for _ in range(4):
+            seg = (blobby_segmap(rng, (256, 512)) > 0).astype(np.uint8)
+            want = reference_impl.create_occupancy_grid_binary(seg, cal, GRID)
+            got = builder(seg)
+            if laserscan:
+                assert isinstance(got, tuple) and len(got) == 2
+                for g, w in zip(got, want):
+                    budget += int((np.asarray(g) != w).sum())
+            else:
+                budget += int((np.asarray(got) != want).sum())
+        assert budget <= 8, f"{budget} mismatched cells over 4 frames"
+
+
+class TestShapeValidation:
+    def test_wrong_shape_raises(self, rng):
+        cal = make_calibration(False)
+        builder = OccupancyGridBuilder(cal, GRID)
+        with pytest.raises(ValueError, match="segmap shape"):
+            builder(np.zeros((128, 512), np.uint8))
+
+    def test_bad_ndim_raises(self):
+        cal = make_calibration(False)
+        builder = OccupancyGridBuilder(cal, GRID)
+        with pytest.raises(ValueError, match="must be"):
+            builder(np.zeros((1, 1, 256, 512), np.uint8))
