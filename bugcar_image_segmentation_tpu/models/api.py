@@ -1,0 +1,152 @@
+"""Inference engines: the reference's model API, jit-compiled end to end.
+
+Plays the role of the reference's ``InferenceModel`` ABC and its ``ENET`` /
+``DeepLabV3`` engines (reference models.py:8-136), with the host/device
+choreography inverted: where the reference runs preprocess on CPU, crosses
+to the GPU for ``sess.run``, comes back, and crosses again for the eager
+argmax+remap (SURVEY.md §3.1 boundaries #1/#2), an ``Engine`` here compiles
+
+    uint8 BGR frame → resize/normalize → backbone → argmax → 3-class remap
+
+into ONE XLA program.  The only per-frame host↔device traffic is the raw
+frame in and the uint8 class map (or int8 grid, see pipeline.py) out.
+
+Engines are constructed from a :class:`~..configs.ModelConfig` plus either
+converted reference weights (convert/) or a checkpoint; absent both they
+self-initialize (useful for benchmarks and tests — the compute graph is
+identical regardless of where the numbers came from).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import ModelConfig
+from . import preprocess as pre
+from . import remap
+
+
+class Engine:
+    """A segmentation backbone compiled into a frame→class-map program.
+
+    Args:
+      module: a Flax module with ``__call__(x, train=False) -> logits``
+        taking NHWC float input and returning NHWC logits.
+      cfg: model geometry / normalization constants.
+      variables: Flax variable dict (``{"params": ..., "batch_stats": ...}``).
+        If None, initialized with ``jax.random.PRNGKey(0)`` — random weights,
+        real architecture.
+      remap_table: backbone-class → drivability-class table
+        (default: the ENet table, reference models.py:57-58).
+    """
+
+    def __init__(self,
+                 module: Any,
+                 cfg: ModelConfig,
+                 variables: Optional[dict] = None,
+                 remap_table: Optional[np.ndarray] = None):
+        self.module = module
+        self.cfg = cfg
+        self.remap_table = (remap.remap_table(cfg.num_classes)
+                            if remap_table is None else remap_table)
+        if variables is None:
+            dummy = jnp.zeros((1, cfg.input_height, cfg.input_width, 3),
+                              jnp.dtype(cfg.dtype))
+            variables = module.init(jax.random.PRNGKey(0), dummy, train=False)
+        self.variables = variables
+
+        self._predict = jax.jit(self._predict_impl)
+        self._predict_binary = jax.jit(self._predict_binary_impl)
+        self._logits = jax.jit(self._logits_impl)
+
+    # -- pure jitted bodies --------------------------------------------------
+
+    def _forward(self, frames_bgr: jax.Array) -> jax.Array:
+        x = pre.preprocess_for_config(frames_bgr, self.cfg)
+        return self.module.apply(self.variables, x, train=False)
+
+    def _logits_impl(self, frames_bgr: jax.Array) -> jax.Array:
+        return self._forward(frames_bgr)
+
+    def _predict_impl(self, frames_bgr: jax.Array) -> jax.Array:
+        return remap.logits_to_drivability(self._forward(frames_bgr),
+                                           self.remap_table)
+
+    def _predict_binary_impl(self, frames_bgr: jax.Array) -> jax.Array:
+        return remap.logits_to_binary_road(self._forward(frames_bgr))
+
+    # -- public API (reference models.py:42/70 equivalents) ------------------
+
+    @staticmethod
+    def _batched(fn: Callable, frames_bgr) -> jax.Array:
+        frames = jnp.asarray(frames_bgr)
+        if frames.ndim == 3:
+            return fn(frames[None])[0]
+        return fn(frames)
+
+    def predict(self, frames_bgr) -> jax.Array:
+        """BGR uint8 frame(s) → uint8 3-class drivability map(s).
+
+        Accepts (H, W, 3) or (B, H, W, 3); output spatial size is the
+        model's input resolution, like the reference's (models.py:42-69).
+        """
+        return self._batched(self._predict, frames_bgr)
+
+    def predict_binary(self, frames_bgr) -> jax.Array:
+        """BGR uint8 frame(s) → uint8 {0,1} road mask(s)
+        (reference models.py:70-82)."""
+        return self._batched(self._predict_binary, frames_bgr)
+
+    def logits(self, frames_bgr) -> jax.Array:
+        """Raw class logits, for eval / distillation."""
+        return self._batched(self._logits, frames_bgr)
+
+    # -- weights --------------------------------------------------------------
+
+    def load_variables(self, variables: dict) -> None:
+        """Swap in converted/trained weights (same tree structure)."""
+        jax.tree_util.tree_map(lambda a, b: None, self.variables, variables)
+        self.variables = variables
+
+
+def build_engine(name: str = "enet",
+                 cfg: Optional[ModelConfig] = None,
+                 variables: Optional[dict] = None) -> Engine:
+    """Factory covering the reference's model zoo by name.
+
+    ``enet`` (models.py:14), ``deeplab`` (models.py:98), ``unet``
+    (the Keras model.h5 configuration), ``segformer`` (BASELINE config 5).
+    """
+    name = name.lower()
+    if name == "enet":
+        from .enet import ENet
+        cfg = cfg or ModelConfig()
+        module = ENet(num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype))
+    elif name == "deeplab":
+        from .deeplab import DeepLabV3
+        cfg = cfg or ModelConfig(name="deeplab", input_width=1024,
+                                 input_height=512, num_classes=15)
+        module = DeepLabV3(num_classes=cfg.num_classes,
+                           dtype=jnp.dtype(cfg.dtype))
+    elif name == "unet":
+        from .unet import UNet
+        cfg = cfg or ModelConfig(name="unet", input_width=512,
+                                 input_height=256, num_classes=15)
+        module = UNet(num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype))
+    elif name == "segformer":
+        from .segformer import SegFormer
+        cfg = cfg or ModelConfig(name="segformer", input_width=1024,
+                                 input_height=1024, num_classes=15)
+        module = SegFormer(num_classes=cfg.num_classes,
+                           dtype=jnp.dtype(cfg.dtype))
+    else:
+        raise ValueError(f"unknown model {name!r}")
+    return Engine(module, cfg, variables=variables)
+
+
+__all__ = ["Engine", "build_engine"]

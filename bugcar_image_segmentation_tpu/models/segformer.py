@@ -1,0 +1,195 @@
+"""SegFormer (MiT backbone + all-MLP head) in Flax — BASELINE config 5.
+
+The attention-backbone configuration at 1024x1024 from BASELINE.json.  The
+reference has no attention models at all (SURVEY.md §2c); this implements
+the SegFormer-B0/B1 family (Xie et al., 2021): four hierarchical stages of
+overlapped patch embedding + efficient self-attention + Mix-FFN, fused by
+an all-MLP decode head at 1/4 resolution.
+
+TPU-first specifics:
+- Attention runs through the Pallas blockwise kernel
+  (ops/pallas/attention.py): at 1024² input, stage-1 has 65k tokens — the
+  (N, N) score matrix would be 16 GB, the blockwise kernel keeps it in
+  VMEM tiles (SURVEY.md §5 long-context note).
+- Spatial-reduction attention (sr_ratio) shrinks K/V by conv-pooling, so
+  kv-length is at most ~4k — K/V tiles stay resident while Q streams.
+- NHWC throughout; LayerNorm in f32, matmuls bf16 → f32 accumulate.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas.attention import flash_attention
+
+
+class OverlapPatchEmbed(nn.Module):
+    """Strided-conv patch embedding (k7s4 for stage 1, k3s2 after)."""
+
+    features: int
+    kernel: int
+    stride: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return nn.LayerNorm(dtype=jnp.float32,
+                            param_dtype=jnp.float32)(x).astype(self.dtype)
+
+
+class EfficientAttention(nn.Module):
+    """Self-attention with spatial reduction of K/V (SegFormer's SRA)."""
+
+    dim: int
+    num_heads: int
+    sr_ratio: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
+        n, l, c = x.shape
+        h, w = hw
+        head_dim = self.dim // self.num_heads
+
+        q = nn.Dense(self.dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="q")(x)
+
+        kv_in = x
+        if self.sr_ratio > 1:
+            r = self.sr_ratio
+            kv_in = x.reshape(n, h, w, c)
+            kv_in = nn.Conv(self.dim, (r, r), strides=(r, r),
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="sr")(kv_in)
+            kv_in = kv_in.reshape(n, -1, self.dim)
+            kv_in = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+                                 name="sr_norm")(kv_in).astype(self.dtype)
+        k = nn.Dense(self.dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="k")(kv_in)
+        v = nn.Dense(self.dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="v")(kv_in)
+
+        def split(t):
+            return t.reshape(n, t.shape[1], self.num_heads,
+                             head_dim).transpose(0, 2, 1, 3)
+
+        out = flash_attention(split(q), split(k), split(v))
+        out = out.transpose(0, 2, 1, 3).reshape(n, l, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="proj")(out)
+
+
+class MixFFN(nn.Module):
+    """SegFormer's FFN with a 3x3 depthwise conv instead of pos-encoding."""
+
+    dim: int
+    expansion: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
+        n, l, c = x.shape
+        h, w = hw
+        hidden = self.dim * self.expansion
+        y = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        y = y.reshape(n, h, w, hidden)
+        y = nn.Conv(hidden, (3, 3), padding="SAME",
+                    feature_group_count=hidden, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="dwconv")(y)
+        y = y.reshape(n, l, hidden)
+        y = nn.gelu(y)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="fc2")(y)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
+        def ln(t, name):
+            return nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+                                name=name)(t).astype(self.dtype)
+        x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
+                                   dtype=self.dtype,
+                                   name="attn")(ln(x, "norm1"), hw)
+        x = x + MixFFN(self.dim, dtype=self.dtype,
+                       name="ffn")(ln(x, "norm2"), hw)
+        return x
+
+
+class SegFormer(nn.Module):
+    """MiT-B0/B1-scale hierarchical transformer + all-MLP decode head.
+
+    Input (N, H, W, 3) float NHWC (H, W divisible by 32); output
+    (N, H, W, num_classes) float32 logits.
+    """
+
+    num_classes: int = 15
+    widths: Sequence[int] = (32, 64, 160, 256)
+    depths: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (1, 2, 5, 8)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    decoder_dim: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        dt = self.dtype
+        x = x.astype(dt)
+        n, h0, w0, _ = x.shape
+
+        feats = []
+        for s in range(4):
+            k, stride = (7, 4) if s == 0 else (3, 2)
+            x = OverlapPatchEmbed(self.widths[s], k, stride, dtype=dt,
+                                  name=f"embed{s}")(x)
+            n_, h, w, c = x.shape
+            x = x.reshape(n_, h * w, c)
+            for b in range(self.depths[s]):
+                x = Block(self.widths[s], self.num_heads[s],
+                          self.sr_ratios[s], dtype=dt,
+                          name=f"stage{s}_block{b}")(x, (h, w))
+            x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+                             name=f"norm{s}")(x).astype(dt)
+            x = x.reshape(n_, h, w, c)
+            feats.append(x)
+
+        # All-MLP head: project every stage to decoder_dim, upsample to 1/4,
+        # concat, fuse, classify.
+        target_hw = (feats[0].shape[1], feats[0].shape[2])
+        proj = []
+        for s, f in enumerate(feats):
+            p = nn.Dense(self.decoder_dim, dtype=dt, param_dtype=jnp.float32,
+                         name=f"linear_c{s}")(f)
+            if p.shape[1:3] != target_hw:
+                p = jax.image.resize(
+                    p, (n, target_hw[0], target_hw[1], self.decoder_dim),
+                    method="bilinear")
+            proj.append(p.astype(dt))
+        y = jnp.concatenate(proj[::-1], axis=-1)
+        y = nn.Conv(self.decoder_dim, (1, 1), use_bias=False, dtype=dt,
+                    param_dtype=jnp.float32, name="fuse")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=dt,
+                         param_dtype=jnp.float32, name="fuse_bn")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.num_classes, (1, 1), dtype=dt,
+                    param_dtype=jnp.float32, name="classifier")(y)
+        return jax.image.resize(
+            y.astype(jnp.float32), (n, h0, w0, self.num_classes),
+            method="bilinear")
+
+
+__all__ = ["SegFormer", "EfficientAttention", "MixFFN", "OverlapPatchEmbed"]

@@ -1,0 +1,150 @@
+"""Blockwise (Flash-style) attention as a Pallas TPU kernel.
+
+The reference is conv-only, but BASELINE.json config 5 adds a SegFormer/ViT
+backbone at 1024x1024 — image tokens are the "sequence" (SURVEY.md §5
+long-context note).  Materializing the (N, N) score matrix at 64k tokens is
+16 GB in f32; the blockwise kernel keeps attention memory O(block²) and the
+running softmax in VMEM, so attention stays compute-bound on the MXU.
+
+Kernel shape: grid = (batch*heads, q_blocks, kv_blocks), kv innermost.
+Scratch carries the running max/denominator/accumulator across kv steps
+(the standard online-softmax recurrence); the output block is written once,
+on the final kv step.  All matmuls accumulate in float32 on the MXU.
+
+On CPU (tests, virtual meshes) the kernel runs in Pallas interpret mode —
+same code path, bit-identical math, no TPU required.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU-only module; absent on CPU-only installs.
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+_NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                 *, scale: float, kv_blocks: int):
+    kv_step = pl.program_id(2)
+
+    @pl.when(kv_step == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
+    k = k_ref[0].astype(jnp.float32)                  # (bkv, d)
+    v = v_ref[0].astype(jnp.float32)                  # (bkv, d)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (bq, bkv)
+
+    m_prev = m_ref[:]                                  # (bq, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                             # (bq, bkv)
+
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(kv_step == kv_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _pick_block(n: int, preferred: int) -> int:
+    if n % preferred == 0:
+        return preferred
+    b = math.gcd(n, preferred)
+    # Fall back to the largest divisor of n that is <= preferred.
+    for cand in range(min(preferred, n), 0, -1):
+        if n % cand == 0:
+            return cand
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_kv",
+                                             "interpret"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    block_q: int = 256, block_kv: int = 256,
+                    interpret: Optional[bool] = None) -> jax.Array:
+    """Softmax(q kᵀ / sqrt(d)) v, blockwise, no (N, N) materialization.
+
+    Args:
+      q: (B, H, Nq, d).
+      k/v: (B, H, Nkv, d).
+      block_q/block_kv: VMEM tile sizes (clipped to divisors of N).
+      interpret: force Pallas interpret mode; default = auto (True off-TPU).
+
+    Returns:
+      (B, H, Nq, d) in q's dtype.
+    """
+    b, h, nq, d = q.shape
+    nkv = k.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    bq = _pick_block(nq, block_q)
+    bkv = _pick_block(nkv, block_kv)
+    scale = 1.0 / math.sqrt(d)
+
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nkv, d)
+    vf = v.reshape(b * h, nkv, d)
+    grid = (b * h, nq // bq, nkv // bkv)
+
+    if pltpu is not None:
+        scratch = [
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ]
+    else:  # pragma: no cover - CPU-only fallback
+        scratch = [
+            pl.MemorySpace.ANY((bq, 1), jnp.float32),
+            pl.MemorySpace.ANY((bq, 1), jnp.float32),
+            pl.MemorySpace.ANY((bq, d), jnp.float32),
+        ]
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, kv_blocks=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, bkv, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, bkv, d), lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, nq, d)
+
+
+def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array
+                        ) -> jax.Array:
+    """Naive O(N²)-memory attention — the test oracle for the kernel."""
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / math.sqrt(d)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+__all__ = ["flash_attention", "attention_reference"]

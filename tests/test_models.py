@@ -1,0 +1,207 @@
+"""Model-zoo tests: remap semantics, preprocessing, pooling, engines,
+and the Pallas attention kernel.
+
+The class-remap constants are load-bearing (SURVEY.md §7: a permuted
+converter silently breaks drivability semantics) — they are pinned here
+against the reference's literal sets (reference models.py:57-58,
+note_label:1-15).
+"""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bugcar_image_segmentation_tpu.models import remap
+from bugcar_image_segmentation_tpu.models import preprocess as pre
+from bugcar_image_segmentation_tpu.models.api import Engine, build_engine
+from bugcar_image_segmentation_tpu.models.enet import (
+    ENet, max_pool_with_indices, max_unpool)
+from bugcar_image_segmentation_tpu.configs import ModelConfig
+from bugcar_image_segmentation_tpu.ops.pallas.attention import (
+    flash_attention, attention_reference)
+
+
+# ---------------------------------------------------------------------------
+# Class remap (reference models.py:55-58, 70-82)
+# ---------------------------------------------------------------------------
+
+
+class TestRemap:
+    def test_table_pins_reference_semantics(self):
+        t = remap.remap_table()
+        # road(0), lane_marking(1) → ROAD=1  (reference models.py:58)
+        assert t[0] == 1 and t[1] == 1
+        # pavement(2), vegetation(9) → FLAT=0  (reference models.py:57)
+        assert t[2] == 0 and t[9] == 0
+        # everything else → OBSTACLE=2  (reference models.py:56)
+        for c in (3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 14):
+            assert t[c] == 2
+
+    def test_logits_to_drivability(self, rng):
+        logits = jnp.asarray(rng.normal(size=(2, 8, 8, 15)).astype(np.float32))
+        out = np.asarray(remap.logits_to_drivability(logits))
+        classes = np.argmax(np.asarray(logits), axis=-1)
+        expected = remap.remap_table()[classes]
+        np.testing.assert_array_equal(out, expected)
+        assert out.dtype == np.uint8
+
+    def test_binary_road_mask(self, rng):
+        logits = jnp.asarray(rng.normal(size=(4, 4, 15)).astype(np.float32))
+        out = np.asarray(remap.logits_to_binary_road(logits[None])[0])
+        classes = np.argmax(np.asarray(logits), axis=-1)
+        np.testing.assert_array_equal(out, np.isin(classes, [0, 1])
+                                      .astype(np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing (reference models.py:84-95)
+# ---------------------------------------------------------------------------
+
+
+class TestPreprocess:
+    def test_matches_reference_pipeline(self, rng):
+        frame = rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+        out = np.asarray(pre.preprocess_frame(jnp.asarray(frame), (24, 48),
+                                              dtype=jnp.float32))
+        # Reference arithmetic with a float-precision resize oracle.
+        resized = cv2.resize(frame.astype(np.float32), (48, 24),
+                             interpolation=cv2.INTER_LINEAR)
+        rgb = resized[..., ::-1] / 256.0
+        expected = ((rgb - np.array(pre.IMAGE_MEAN))
+                    / np.array(pre.IMAGE_STD)).astype(np.float32)
+        np.testing.assert_allclose(out, expected, atol=2e-5)
+
+    def test_batched(self, rng):
+        frames = rng.integers(0, 256, size=(3, 32, 64, 3), dtype=np.uint8)
+        out = pre.preprocess_frame(jnp.asarray(frames), (16, 32),
+                                   dtype=jnp.float32)
+        assert out.shape == (3, 16, 32, 3)
+        single = pre.preprocess_frame(jnp.asarray(frames[1]), (16, 32),
+                                      dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(single),
+                                   atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Pool-with-indices / unpool (the ENet decoder's core op)
+# ---------------------------------------------------------------------------
+
+
+class TestPoolUnpool:
+    def test_pool_matches_max_pool(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)).astype(np.float32))
+        pooled, idx = max_pool_with_indices(x)
+        import flax.linen as nn
+        np.testing.assert_array_equal(
+            np.asarray(pooled), np.asarray(nn.max_pool(x, (2, 2), (2, 2))))
+        assert idx.dtype == jnp.uint8
+        assert int(jnp.max(idx)) <= 3
+
+    def test_unpool_places_values_at_argmax(self, rng):
+        x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+        pooled, idx = max_pool_with_indices(x)
+        up = np.asarray(max_unpool(pooled, idx))
+        xn = np.asarray(x)
+        # Non-zero entries sit exactly at each window's (first) maximum.
+        for wy in range(2):
+            for wx in range(2):
+                for c in range(2):
+                    win = xn[0, wy * 2:wy * 2 + 2, wx * 2:wx * 2 + 2, c]
+                    out = up[0, wy * 2:wy * 2 + 2, wx * 2:wx * 2 + 2, c]
+                    flat = win.reshape(-1)
+                    k = int(np.argmax(flat))
+                    expected = np.zeros(4, np.float32)
+                    expected[k] = flat[k]
+                    np.testing.assert_array_equal(out.reshape(-1), expected)
+
+    def test_roundtrip_shapes(self, rng):
+        x = jnp.asarray(rng.normal(size=(1, 16, 24, 3)).astype(np.float32))
+        pooled, idx = max_pool_with_indices(x)
+        assert pooled.shape == (1, 8, 12, 3)
+        assert max_unpool(pooled, idx).shape == x.shape
+
+
+# ---------------------------------------------------------------------------
+# Engines
+# ---------------------------------------------------------------------------
+
+
+def tiny_cfg(**kw):
+    base = dict(name="enet", input_width=64, input_height=32,
+                num_classes=15, dtype="float32")
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+class TestEngine:
+    def test_enet_predict_contract(self, rng):
+        cfg = tiny_cfg()
+        eng = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        frame = rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+        seg = np.asarray(eng.predict(frame))
+        assert seg.shape == (32, 64)
+        assert seg.dtype == np.uint8
+        assert set(np.unique(seg)) <= {0, 1, 2}
+
+    def test_batched_predict_matches_single(self, rng):
+        cfg = tiny_cfg()
+        eng = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        frames = rng.integers(0, 256, size=(2, 48, 96, 3), dtype=np.uint8)
+        batch = np.asarray(eng.predict(frames))
+        single = np.asarray(eng.predict(frames[0]))
+        np.testing.assert_array_equal(batch[0], single)
+
+    def test_binary_consistent_with_multiclass(self, rng):
+        cfg = tiny_cfg()
+        eng = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        frame = rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+        seg = np.asarray(eng.predict(frame))
+        binary = np.asarray(eng.predict_binary(frame))
+        # binary road == multiclass ROAD (both derive from the same argmax)
+        np.testing.assert_array_equal(binary, (seg == remap.ROAD)
+                                      .astype(np.uint8))
+
+    @pytest.mark.parametrize("name,w,h", [
+        ("deeplab", 64, 32), ("unet", 64, 32), ("segformer", 64, 64)])
+    def test_other_backbones_forward(self, rng, name, w, h):
+        cfg = ModelConfig(name=name, input_width=w, input_height=h,
+                          num_classes=15, dtype="float32")
+        eng = build_engine(name, cfg)
+        frame = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        seg = np.asarray(eng.predict(frame))
+        assert seg.shape == (h, w)
+        assert set(np.unique(seg)) <= {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Pallas blockwise attention
+# ---------------------------------------------------------------------------
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("nq,nkv,bq,bkv", [
+        (128, 128, 64, 64),    # even blocks
+        (128, 96, 64, 32),     # cross-attention shape
+        (100, 80, 64, 32),     # ragged → divisor fallback
+    ])
+    def test_matches_naive(self, rng, nq, nkv, bq, bkv):
+        q = jnp.asarray(rng.normal(size=(2, 2, nq, 32)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 2, nkv, 32)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 2, nkv, 32)).astype(np.float32))
+        out = flash_attention(q, k, v, block_q=bq, block_kv=bkv)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_extreme_logits_stable(self):
+        # Online softmax must survive large score magnitudes.
+        q = jnp.full((1, 1, 64, 16), 30.0, jnp.float32)
+        k = jnp.concatenate([jnp.full((1, 1, 32, 16), 30.0),
+                             jnp.full((1, 1, 32, 16), -30.0)],
+                            axis=2).astype(jnp.float32)
+        v = jnp.ones((1, 1, 64, 16), jnp.float32)
+        out = flash_attention(q, k, v, block_q=64, block_kv=32)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
