@@ -1,0 +1,152 @@
+"""Fused pipeline and evaluation tests.
+
+The fused frame→grid program must agree exactly with running the same
+stages separately (engine.predict → OccupancyGridBuilder), streaming must
+preserve order, the multi-camera stitch must equal the per-camera max, and
+the eval metrics must match hand-computed confusion algebra.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from bugcar_image_segmentation_tpu import geometry
+from bugcar_image_segmentation_tpu.configs import (CalibrationConfig,
+                                                   GridConfig, ModelConfig)
+from bugcar_image_segmentation_tpu.evaluation import (SegmentationMetrics,
+                                                      bit_parity,
+                                                      confusion_matrix,
+                                                      evaluate_model)
+from bugcar_image_segmentation_tpu.grid import OccupancyGridBuilder
+from bugcar_image_segmentation_tpu.models.api import Engine
+from bugcar_image_segmentation_tpu.models.enet import ENet
+from bugcar_image_segmentation_tpu.pipeline import (MultiCameraPipeline,
+                                                    Pipeline, stitch_grids)
+
+
+def make_cal(yaw=0.12, inp=(64, 32)):
+    cal = CalibrationConfig(
+        input_shape=inp, output_shape=(128, 128),
+        dist2target=(2.0, 30.0), tile_length=60.0, cm_per_px=4.0, yaw=yaw)
+    tile = np.array([[26.0, 21.0], [38.0, 21.0], [41.0, 29.0], [23.0, 30.0]])
+    m = geometry.calculate_transform_matrix(
+        tile, output_shape=cal.output_shape, dist2target=cal.dist2target,
+        tile_length=cal.tile_length, cm_per_px=cal.cm_per_px, yaw=cal.yaw)
+    return cal.with_matrix(m)
+
+
+GRID = GridConfig(width_m=4.0, height_m=4.0, cell_m=0.2)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = ModelConfig(input_width=64, input_height=32, dtype="float32")
+    return Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+
+
+class TestPipeline:
+    def test_fused_matches_staged(self, engine, rng):
+        cal = make_cal()
+        pipe = Pipeline(engine, cal, GRID)
+        frame = rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+        fused = np.asarray(pipe(frame))
+        staged = np.asarray(
+            OccupancyGridBuilder(cal, GRID)(engine.predict(frame)))
+        np.testing.assert_array_equal(fused, staged)
+
+    def test_segment_and_grid_consistent(self, engine, rng):
+        cal = make_cal()
+        pipe = Pipeline(engine, cal, GRID)
+        frame = rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+        grid, seg = pipe.segment_and_grid(frame)
+        np.testing.assert_array_equal(np.asarray(seg),
+                                      np.asarray(engine.predict(frame)))
+        np.testing.assert_array_equal(np.asarray(grid), np.asarray(pipe(frame)))
+
+    def test_shape_mismatch_raises(self, engine):
+        bad_cal = make_cal(inp=(128, 64))
+        with pytest.raises(ValueError, match="must match"):
+            Pipeline(engine, bad_cal, GRID)
+
+    def test_stream_order_and_values(self, engine, rng):
+        cal = make_cal()
+        pipe = Pipeline(engine, cal, GRID)
+        frames = [rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+                  for _ in range(5)]
+        streamed = list(pipe.stream(iter(frames), depth=2))
+        assert len(streamed) == 5
+        for frame, got in zip(frames, streamed):
+            np.testing.assert_array_equal(got, np.asarray(pipe(frame)))
+
+    def test_binary_mode(self, engine, rng):
+        cal = make_cal()
+        pipe = Pipeline(engine, cal, GRID, mode="binary")
+        frame = rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+        out = np.asarray(pipe(frame))
+        staged = np.asarray(OccupancyGridBuilder(cal, GRID, mode="binary")(
+            engine.predict_binary(frame)))
+        np.testing.assert_array_equal(out, staged)
+
+
+class TestMultiCamera:
+    def test_stitch_is_per_camera_max(self, engine, rng):
+        cals = [make_cal(yaw=y) for y in (-0.3, 0.0, 0.3)]
+        multi = MultiCameraPipeline(engine, cals, GRID)
+        frames = rng.integers(0, 256, size=(3, 48, 96, 3), dtype=np.uint8)
+        got = np.asarray(multi(frames))
+        per_cam = [np.asarray(OccupancyGridBuilder(c, GRID)(
+            engine.predict(frames[i]))) for i, c in enumerate(cals)]
+        np.testing.assert_array_equal(got, np.max(np.stack(per_cam), axis=0))
+
+    def test_stitch_semantics(self):
+        a = np.full((4, 4), -1, np.int8)
+        b = np.zeros((4, 4), np.int8)
+        c = np.full((4, 4), 100, np.int8)
+        c[0, 0] = -1
+        merged = np.asarray(stitch_grids(jnp.stack(
+            [jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)])))
+        assert merged[0, 0] == 0      # free beats unknown
+        assert merged[1, 1] == 100    # occupied beats free
+
+
+class TestEvaluation:
+    def test_confusion_matrix_manual(self):
+        pred = jnp.asarray([0, 1, 2, 2, 1, 0])
+        label = jnp.asarray([0, 1, 1, 2, 1, 2])
+        cm = np.asarray(confusion_matrix(pred, label, 3))
+        want = np.zeros((3, 3), np.int32)
+        for p, l in zip([0, 1, 2, 2, 1, 0], [0, 1, 1, 2, 1, 2]):
+            want[l, p] += 1
+        np.testing.assert_array_equal(cm, want)
+
+    def test_ignore_label_dropped(self):
+        pred = jnp.asarray([0, 1])
+        label = jnp.asarray([0, 255])
+        cm = np.asarray(confusion_matrix(pred, label, 3))
+        assert cm.sum() == 1
+
+    def test_metrics_algebra(self):
+        cm = np.array([[8, 2], [1, 9]])
+        m = SegmentationMetrics(confusion=cm)
+        assert m.pixel_accuracy == pytest.approx(17 / 20)
+        np.testing.assert_allclose(m.per_class_iou,
+                                   [8 / 11, 9 / 12])
+        assert m.mean_iou == pytest.approx((8 / 11 + 9 / 12) / 2)
+
+    def test_evaluate_model_perfect_labels(self, engine, rng):
+        frames = [rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+                  for _ in range(2)]
+        dataset = [(f, np.asarray(engine.predict(f))) for f in frames]
+        # Labels already 3-class: disable remap.
+        metrics = evaluate_model(engine, dataset, remap_labels=False,
+                                 num_classes=3)
+        assert metrics.pixel_accuracy == 1.0
+        assert metrics.mean_iou == 1.0
+
+    def test_bit_parity_report(self):
+        a = np.zeros((10, 10), np.int8)
+        b = a.copy()
+        b[0, 0] = 1
+        rep = bit_parity(a, b)
+        assert rep["mismatched_cells"] == 1
+        assert rep["parity"] == pytest.approx(0.99)
