@@ -30,7 +30,7 @@ def fov_mask(cal: CalibrationConfig, grid: GridConfig) -> np.ndarray:
     """
     builder = OccupancyGridBuilder(cal, grid, mode="multiclass",
                                    interpolation="nearest")
-    valid = np.asarray(builder._taps.weights).sum(axis=0) > 0  # (tpl_h, tpl_w)
+    valid = np.asarray(builder._taps.weights) > 0  # (tpl_h, tpl_w), nearest
     g = builder.geom
     # Same nearest-binning the grid build applies (ops/resize.py).
     ys = np.minimum((np.arange(g.cells_h) * (valid.shape[0] / g.cells_h))
