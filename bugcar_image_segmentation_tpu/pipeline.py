@@ -59,7 +59,9 @@ class Pipeline:
                  cal: CalibrationConfig,
                  grid_cfg: GridConfig,
                  mode: str = "multiclass",
-                 interpolation: str = "cv2_linear"):
+                 interpolation: str = "cv2_linear",
+                 use_clahe: bool = False,
+                 contour_filter: bool = False):
         expect = (cal.input_height, cal.input_width)
         got = (engine.cfg.input_height, engine.cfg.input_width)
         if expect != got:
@@ -72,12 +74,31 @@ class Pipeline:
         self.mode = mode
 
         def run(frame_bgr: jax.Array):
+            if use_clahe:
+                # Camera pre-enhancement fused into the same program
+                # (reference ran it on host, image_processing_utils.py:46).
+                from . import postproc
+                frame_bgr = postproc.clahe(frame_bgr)
             logits = engine._forward(frame_bgr[None])
             if mode == "multiclass":
                 seg = remap.logits_to_drivability(logits,
                                                   engine.remap_table)[0]
             else:
                 seg = remap.logits_to_binary_road(logits)[0]
+            if contour_filter:
+                # Footwell-connectivity road filtering (reference
+                # image_processing_utils.py:4-44), device-side.  Road
+                # pixels failing the filter demote to flat-non-road —
+                # occupied in the grid, the conservative reading of the
+                # reference's intent (drop false-positive road).
+                from . import postproc
+                road = (seg == remap.ROAD).astype(jnp.uint8)
+                kept = postproc.contour_noise_removal(road)
+                if mode == "multiclass":
+                    seg = jnp.where((road == 1) & (kept == 0),
+                                    jnp.uint8(remap.FLAT_NON_ROAD), seg)
+                else:
+                    seg = kept
             return self.builder.build(seg), seg
 
         self._run = jax.jit(run)

@@ -46,7 +46,6 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
-    from bugcar_image_segmentation_tpu import postproc
     from bugcar_image_segmentation_tpu.calibration import BEVTransform
     from bugcar_image_segmentation_tpu.configs import GridConfig
     from bugcar_image_segmentation_tpu.io import (OpenCVSource,
@@ -67,7 +66,8 @@ def main() -> int:
         variables, _ = load_variables(args.checkpoint)
     engine = build_engine(args.model, variables=variables)
     bev = BEVTransform.from_json(args.calib)
-    pipe = Pipeline(engine, bev.config, GridConfig(gw, gh, cell))
+    pipe = Pipeline(engine, bev.config, GridConfig(gw, gh, cell),
+                    use_clahe=args.clahe, contour_filter=args.contour_filter)
     log.info("compiling fused pipeline ...")
     log.info("compiled in %.1fs", pipe.warmup((480, 640, 3)))
 
@@ -93,17 +93,9 @@ def main() -> int:
             break
         frame, dropped = item
         total_dropped += dropped
-        f = jnp.asarray(frame)
-        if args.clahe:
-            f = postproc.clahe(f)
-        if args.contour_filter:
-            grid_arr, seg = pipe.segment_and_grid(f)
-            mask = postproc.contour_noise_removal(
-                (seg == 1).astype(jnp.uint8))
-            grid = np.asarray(grid_arr)
-            _ = mask  # mask available for downstream consumers
-        else:
-            grid = np.asarray(pipe(f))
+        # clahe / contour filtering run inside the fused program
+        # (Pipeline flags above) — no host-side image passes.
+        grid = np.asarray(pipe(jnp.asarray(frame)))
         msg = to_occupancy_grid_msg(grid, cell, gw, gh,
                                     time_stamp=time.time(),
                                     frame_id=args.frame_id)

@@ -78,6 +78,24 @@ class TestPipeline:
         for frame, got in zip(frames, streamed):
             np.testing.assert_array_equal(got, np.asarray(pipe(frame)))
 
+    def test_fused_clahe_and_contour_filter(self, engine, rng):
+        """The optional stages fuse into the same program and keep the
+        output contract; contour filtering may only remove road."""
+        cal = make_cal()
+        frame = rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+        pipe = Pipeline(engine, cal, GRID, use_clahe=True,
+                        contour_filter=True)
+        grid, seg = pipe.segment_and_grid(frame)
+        assert set(np.unique(np.asarray(grid))) <= {-1, 0, 100}
+        plain_seg = np.asarray(
+            Pipeline(engine, cal, GRID, use_clahe=True)
+            .segment_and_grid(frame)[1])
+        seg = np.asarray(seg)
+        # filter only demotes road(1) to flat(0); never adds road
+        changed = seg != plain_seg
+        assert (plain_seg[changed] == 1).all()
+        assert (seg[changed] == 0).all()
+
     def test_binary_mode(self, engine, rng):
         cal = make_cal()
         pipe = Pipeline(engine, cal, GRID, mode="binary")
