@@ -120,25 +120,47 @@ class Pipeline:
     def stream(self,
                frames: Iterable[np.ndarray],
                depth: int = 2,
+               sync_chunk: Optional[int] = None,
                ) -> Iterator[np.ndarray]:
-        """Pipelined streaming: keeps ``depth`` frames in flight.
+        """Pipelined streaming: keeps up to ``depth`` frames in flight.
 
-        ``jax.jit`` dispatch is asynchronous, so simply *not* blocking on
-        the current frame's result until ``depth`` more have been enqueued
-        overlaps host IO/decode of upcoming frames with device compute —
-        the double-buffered DMA of the north star, without hand-rolled
-        buffers.  Yields int8 numpy grids in order.
+        ``jax.jit`` dispatch is asynchronous, so *not* blocking on a
+        frame's result until ``depth`` more are enqueued overlaps host
+        IO/decode with device compute — the double-buffered DMA of the
+        north star without hand-rolled buffers.
+
+        ``sync_chunk`` amortizes the device→host synchronization: results
+        are stacked on device and fetched ``sync_chunk`` grids per
+        round-trip (one transfer instead of N).  This matters when the
+        host↔device link has high latency (measured ~27 ms per sync on a
+        tunneled v5e vs 2.2 ms of compute per frame); on local PCIe the
+        difference is negligible.  Default: min(depth, 8).  Grids are
+        yielded in order either way; per-grid latency in chunked mode is
+        up to ``sync_chunk`` frames.
         """
         if depth < 1:
             raise ValueError("depth must be >= 1")
+        sync_chunk = min(depth, 8) if sync_chunk is None else sync_chunk
+
         inflight: List[jax.Array] = []
+
+        def drain(k: int):
+            chunk, rest = inflight[:k], inflight[k:]
+            inflight[:] = rest
+            if k == 1:
+                yield np.asarray(chunk[0])
+            else:
+                # One stacked device→host transfer for the whole chunk.
+                for g in np.asarray(jnp.stack(chunk)):
+                    yield g
+
         for frame in frames:
             grid, _ = self._run(jnp.asarray(frame))
             inflight.append(grid)
-            if len(inflight) > depth:
-                yield np.asarray(inflight.pop(0))
-        for grid in inflight:
-            yield np.asarray(grid)
+            if len(inflight) >= depth + sync_chunk:
+                yield from drain(sync_chunk)
+        while inflight:
+            yield from drain(min(sync_chunk, len(inflight)))
 
     def warmup(self, frame_shape: Tuple[int, int, int]) -> float:
         """Trigger compilation; returns compile seconds."""
