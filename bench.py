@@ -29,7 +29,6 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import jax.numpy as jnp
     from bugcar_image_segmentation_tpu.configs import GridConfig, ModelConfig
     from bugcar_image_segmentation_tpu.io import SyntheticSource
     from bugcar_image_segmentation_tpu.models.api import build_engine
@@ -39,19 +38,22 @@ def main() -> None:
     cfg = ModelConfig()  # ENet 512x256, bf16 on TPU
     engine = build_engine("enet", cfg)
     cal = _toy_calibration((cfg.input_height, cfg.input_width))
-    pipe = Pipeline(engine, cal, GridConfig(8.0, 8.0, 0.1))
+    # host_resize: shrink the frame before the host->device link (the
+    # reference resizes host-side too, models.py:87) — on the tunneled
+    # bench TPU the link is the bottleneck, not compute (2.2 ms/frame).
+    pipe = Pipeline(engine, cal, GridConfig(8.0, 8.0, 0.1),
+                    host_resize=True)
 
     compile_s = pipe.warmup((480, 640, 3))
     print(f"[bench] backend={jax.default_backend()} "
           f"compile={compile_s:.1f}s", file=sys.stderr)
 
-    # Latency (blocking, per frame).
-    frame = jnp.asarray(next(iter(SyntheticSource((480, 640, 3),
-                                                  num_frames=1))))
+    # Latency (blocking, per frame), from a host frame like a camera would.
+    frame = next(iter(SyntheticSource((480, 640, 3), num_frames=1)))
     lat = []
     for _ in range(20):
         t0 = time.perf_counter()
-        jax.block_until_ready(pipe._run(frame))
+        jax.block_until_ready(pipe._run(pipe._prep(frame)))
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1e3)
 
@@ -63,8 +65,8 @@ def main() -> None:
     host_frames = list(source)
     t0 = time.perf_counter()
     count = 0
-    for _ in Pipeline.stream(pipe, iter(host_frames), depth=16,
-                             sync_chunk=16):
+    for _ in Pipeline.stream(pipe, iter(host_frames), depth=8,
+                             sync_chunk=8, transfer_batch=4):
         count += 1
     dt = time.perf_counter() - t0
     fps = count / dt

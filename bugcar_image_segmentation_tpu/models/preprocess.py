@@ -46,10 +46,11 @@ def preprocess_frame(frame_bgr: jax.Array,
     Jit-safe, batched over any leading axes.
     """
     x = frame_bgr.astype(jnp.float32)
-    # Resize operates on trailing (H, W); move channels in front of them.
-    x = jnp.moveaxis(x, -1, -3)                      # (..., 3, H, W)
-    x = resize_ops.resize_bilinear(x, input_hw)      # (..., 3, h, w)
-    x = jnp.moveaxis(x, -3, -1)                      # (..., h, w, 3)
+    if frame_bgr.shape[-3:-1] != tuple(input_hw):
+        # Resize operates on trailing (H, W); move channels before them.
+        x = jnp.moveaxis(x, -1, -3)                  # (..., 3, H, W)
+        x = resize_ops.resize_bilinear(x, input_hw)  # (..., 3, h, w)
+        x = jnp.moveaxis(x, -3, -1)                  # (..., h, w, 3)
     x = x[..., ::-1]                                 # BGR → RGB
     x = x * scale
     x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)

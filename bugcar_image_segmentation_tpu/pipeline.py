@@ -61,7 +61,8 @@ class Pipeline:
                  mode: str = "multiclass",
                  interpolation: str = "cv2_linear",
                  use_clahe: bool = False,
-                 contour_filter: bool = False):
+                 contour_filter: bool = False,
+                 host_resize: bool = False):
         expect = (cal.input_height, cal.input_width)
         got = (engine.cfg.input_height, engine.cfg.input_width)
         if expect != got:
@@ -72,6 +73,13 @@ class Pipeline:
         self.builder = OccupancyGridBuilder(cal, grid_cfg, mode=mode,
                                             interpolation=interpolation)
         self.mode = mode
+        # When the accelerator sits behind a high-latency/low-bandwidth
+        # link (remote TPU), resizing on the host before the transfer cuts
+        # link bytes ~2.3x (the reference also resized host-side,
+        # models.py:87).  On local PCIe leave it off and let the device
+        # resize inside the fused program.
+        self.host_resize = host_resize
+        self._model_hw = got
 
         def run(frame_bgr: jax.Array):
             if use_clahe:
@@ -104,15 +112,22 @@ class Pipeline:
         self._run = jax.jit(run)
         self._run_batch = jax.jit(jax.vmap(
             lambda f: run(f)[0]))
+        self._run_impl = run
+
+    def _prep(self, frame_bgr) -> jax.Array:
+        """Optional host-side resize, then the host→device transfer."""
+        if not self.host_resize:
+            return jnp.asarray(frame_bgr)
+        return jnp.asarray(self._prep_host(frame_bgr))
 
     def __call__(self, frame_bgr) -> jax.Array:
         """One uint8 BGR frame (H, W, 3) → int8 occupancy grid."""
-        grid, _ = self._run(jnp.asarray(frame_bgr))
+        grid, _ = self._run(self._prep(frame_bgr))
         return grid
 
     def segment_and_grid(self, frame_bgr) -> Tuple[jax.Array, jax.Array]:
         """Returns (grid, segmentation map) from the same fused program."""
-        grid, seg = self._run(jnp.asarray(frame_bgr))
+        grid, seg = self._run(self._prep(frame_bgr))
         return grid, seg
 
     # -- streaming ------------------------------------------------------------
@@ -121,52 +136,94 @@ class Pipeline:
                frames: Iterable[np.ndarray],
                depth: int = 2,
                sync_chunk: Optional[int] = None,
+               transfer_batch: int = 1,
                ) -> Iterator[np.ndarray]:
-        """Pipelined streaming: keeps up to ``depth`` frames in flight.
+        """Pipelined streaming: keeps up to ``depth`` dispatches in flight.
 
         ``jax.jit`` dispatch is asynchronous, so *not* blocking on a
         frame's result until ``depth`` more are enqueued overlaps host
         IO/decode with device compute — the double-buffered DMA of the
         north star without hand-rolled buffers.
 
-        ``sync_chunk`` amortizes the device→host synchronization: results
-        are stacked on device and fetched ``sync_chunk`` grids per
-        round-trip (one transfer instead of N).  This matters when the
-        host↔device link has high latency (measured ~27 ms per sync on a
-        tunneled v5e vs 2.2 ms of compute per frame); on local PCIe the
-        difference is negligible.  Default: min(depth, 8).  Grids are
-        yielded in order either way; per-grid latency in chunked mode is
-        up to ``sync_chunk`` frames.
+        Two knobs amortize per-RPC overhead on high-latency links (a
+        tunneled TPU measures ~12 ms per host→device put and ~27 ms per
+        sync, vs 2.2 ms of per-frame compute; both are ~free on local
+        PCIe):
+
+        - ``sync_chunk``: results are stacked on device and fetched
+          ``sync_chunk`` grids per device→host round-trip.
+        - ``transfer_batch``: K frames ship as ONE host→device put and run
+          through a vmapped program (BASELINE config 3's batched
+          streaming).  Adds up to K-1 frames of latency — right for
+          recorded video / multi-camera rigs, wrong for a live single
+          camera; keep K=1 there.
+
+        Grids are yielded in order in all modes.
         """
         if depth < 1:
             raise ValueError("depth must be >= 1")
+        if transfer_batch < 1:
+            raise ValueError("transfer_batch must be >= 1")
         sync_chunk = min(depth, 8) if sync_chunk is None else sync_chunk
 
-        inflight: List[jax.Array] = []
+        run_batch = (jax.jit(jax.vmap(lambda f: self._run_impl(f)[0]))
+                     if transfer_batch > 1 else None)
+        inflight: List[Tuple[jax.Array, int]] = []  # ((K, gh, gw), n_valid)
+        pending: List[np.ndarray] = []   # host frames awaiting dispatch
+
+        def dispatch():
+            if not pending:
+                return
+            n = len(pending)
+            if transfer_batch == 1:
+                grid, _ = self._run(self._prep(pending[0]))
+                inflight.append((grid[None], 1))
+            else:
+                # Pad a final partial batch to the compiled shape (the
+                # extra rows are dropped at drain) — a short tail is
+                # cheaper than a recompile.
+                padded = pending + [pending[-1]] * (transfer_batch - n)
+                stacked = np.stack([self._prep_host(f) for f in padded])
+                inflight.append((run_batch(jnp.asarray(stacked)), n))
+            pending.clear()
 
         def drain(k: int):
             chunk, rest = inflight[:k], inflight[k:]
             inflight[:] = rest
-            if k == 1:
-                yield np.asarray(chunk[0])
-            else:
-                # One stacked device→host transfer for the whole chunk.
-                for g in np.asarray(jnp.stack(chunk)):
-                    yield g
+            arrays = [g for g, _ in chunk]
+            fetched = (np.asarray(arrays[0]) if k == 1
+                       else np.asarray(jnp.concatenate(arrays, axis=0)))
+            off = 0
+            for g, n in chunk:
+                yield from fetched[off:off + n]
+                off += g.shape[0]
 
         for frame in frames:
-            grid, _ = self._run(jnp.asarray(frame))
-            inflight.append(grid)
+            pending.append(frame)
+            if len(pending) >= transfer_batch:
+                dispatch()
             if len(inflight) >= depth + sync_chunk:
                 yield from drain(sync_chunk)
+        dispatch()
         while inflight:
             yield from drain(min(sync_chunk, len(inflight)))
+
+    def _prep_host(self, frame_bgr) -> np.ndarray:
+        """Host-side half of :meth:`_prep` (no device transfer)."""
+        frame_bgr = np.asarray(frame_bgr)
+        if self.host_resize:
+            h, w = self._model_hw
+            if frame_bgr.shape[:2] != (h, w):
+                import cv2
+                frame_bgr = cv2.resize(frame_bgr, (w, h),
+                                       interpolation=cv2.INTER_LINEAR)
+        return frame_bgr
 
     def warmup(self, frame_shape: Tuple[int, int, int]) -> float:
         """Trigger compilation; returns compile seconds."""
         t0 = time.perf_counter()
-        dummy = jnp.zeros(frame_shape, jnp.uint8)
-        jax.block_until_ready(self._run(dummy))
+        dummy = np.zeros(frame_shape, np.uint8)
+        jax.block_until_ready(self._run(self._prep(dummy)))
         return time.perf_counter() - t0
 
 

@@ -78,6 +78,19 @@ class TestPipeline:
         for frame, got in zip(frames, streamed):
             np.testing.assert_array_equal(got, np.asarray(pipe(frame)))
 
+    def test_stream_transfer_batched(self, engine, rng):
+        """Micro-batched transfers: same grids, same order, including a
+        padded partial final batch (7 frames, batch 4)."""
+        cal = make_cal()
+        pipe = Pipeline(engine, cal, GRID)
+        frames = [rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+                  for _ in range(7)]
+        streamed = list(pipe.stream(iter(frames), depth=2,
+                                    transfer_batch=4, sync_chunk=2))
+        assert len(streamed) == 7
+        for frame, got in zip(frames, streamed):
+            np.testing.assert_array_equal(got, np.asarray(pipe(frame)))
+
     def test_fused_clahe_and_contour_filter(self, engine, rng):
         """The optional stages fuse into the same program and keep the
         output contract; contour filtering may only remove road."""
@@ -95,6 +108,30 @@ class TestPipeline:
         changed = seg != plain_seg
         assert (plain_seg[changed] == 1).all()
         assert (seg[changed] == 0).all()
+
+    def test_host_resize_mode(self, engine, rng):
+        """host_resize moves the downscale before the transfer.  The model
+        input tensors must agree to u8 quantization (cv2 rounds the
+        resized frame to uint8; the device path stays float); with an
+        already-model-sized frame the two paths are bit-identical."""
+        from bugcar_image_segmentation_tpu.models import preprocess as pre
+        import jax.numpy as jnp_
+        cal = make_cal()
+        frame = rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+        pipe_host = Pipeline(engine, cal, GRID, host_resize=True)
+        resized = np.asarray(pipe_host._prep(frame))
+        assert resized.shape == (32, 64, 3)
+        x_host = np.asarray(pre.preprocess_frame(
+            jnp_.asarray(resized), (32, 64), dtype=jnp_.float32))
+        x_dev = np.asarray(pre.preprocess_frame(
+            jnp_.asarray(frame), (32, 64), dtype=jnp_.float32))
+        # u8 rounding: ±0.5/256/std ≈ 0.009 per channel
+        assert np.abs(x_host - x_dev).max() < 0.012
+        # model-sized frame: identical programs, identical grids
+        small = rng.integers(0, 256, size=(32, 64, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(Pipeline(engine, cal, GRID)(small)),
+            np.asarray(pipe_host(small)))
 
     def test_binary_mode(self, engine, rng):
         cal = make_cal()
