@@ -45,8 +45,15 @@ def main() -> None:
                     host_resize=True)
 
     compile_s = pipe.warmup((480, 640, 3))
+    # Prime the batched-streaming program too (outside the timed loop).
+    warm = list(SyntheticSource((480, 640, 3), num_frames=4))
+    t0 = time.perf_counter()
+    list(Pipeline.stream(pipe, iter(warm), depth=8, sync_chunk=8,
+                         transfer_batch=4))
+    compile_batch_s = time.perf_counter() - t0
     print(f"[bench] backend={jax.default_backend()} "
-          f"compile={compile_s:.1f}s", file=sys.stderr)
+          f"compile={compile_s:.1f}s batch-program={compile_batch_s:.1f}s",
+          file=sys.stderr)
 
     # Latency (blocking, per frame), from a host frame like a camera would.
     frame = next(iter(SyntheticSource((480, 640, 3), num_frames=1)))

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Train / fine-tune a segmentation backbone on TPU.
+
+The missing direction in the reference (it ships only frozen graphs; its
+one train→deploy tool is ``freeze_session``, reference utils.py:49-83).
+Data parallelism across chips comes from mesh shardings alone — pass
+--devices N on a multi-chip host.
+
+  python scripts/train.py --model enet --images data/imgs --labels data/lbls \\
+      --steps 1000 --batch 16 --lr 3e-4 --out ckpt.msgpack
+
+Labels: PNGs of backbone class ids, paired to images by sorted filename.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="enet",
+                   choices=["enet", "deeplab", "unet", "segformer"])
+    p.add_argument("--images", required=True)
+    p.add_argument("--labels", required=True)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--num-classes", type=int, default=15)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--devices", type=int, default=None,
+                   help="mesh size for data parallelism (default: all)")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--out", required=True, help="msgpack checkpoint path")
+    p.add_argument("--resume", help="msgpack checkpoint to start from")
+    args = p.parse_args()
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from bugcar_image_segmentation_tpu.configs import ModelConfig
+    from bugcar_image_segmentation_tpu.models import preprocess as pre
+    from bugcar_image_segmentation_tpu.models.api import build_engine
+    from bugcar_image_segmentation_tpu.parallel import (make_mesh, replicate,
+                                                        shard_batch)
+    from bugcar_image_segmentation_tpu.training import (create_train_state,
+                                                        make_train_step)
+    from bugcar_image_segmentation_tpu.utils import get_logger
+    from bugcar_image_segmentation_tpu.utils.checkpoint import (
+        load_variables, save_variables)
+
+    log = get_logger("train")
+    cfg = ModelConfig(name=args.model, input_width=args.width,
+                      input_height=args.height,
+                      num_classes=args.num_classes, dtype="bfloat16")
+    engine = build_engine(args.model, cfg)
+    model = engine.module
+
+    img_files = sorted(os.listdir(args.images))
+    lbl_files = sorted(os.listdir(args.labels))
+    assert len(img_files) == len(lbl_files) > 0, "dataset empty/mismatched"
+
+    def load_pair(i):
+        frame = cv2.imread(os.path.join(args.images, img_files[i]))
+        label = cv2.imread(os.path.join(args.labels, lbl_files[i]),
+                           cv2.IMREAD_GRAYSCALE)
+        label = cv2.resize(label, (args.width, args.height),
+                           interpolation=cv2.INTER_NEAREST)
+        return frame, label
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            idx = rng.integers(0, len(img_files), size=args.batch)
+            pairs = [load_pair(i) for i in idx]
+            frames = np.stack([p[0] for p in pairs])
+            labels = np.stack([p[1] for p in pairs]).astype(np.int32)
+            yield frames, labels
+
+    mesh = make_mesh(args.devices)
+    log.info("mesh: %s over %d devices", dict(mesh.shape),
+             mesh.devices.size)
+
+    state = create_train_state(
+        model, (1, args.height, args.width, 3), learning_rate=args.lr)
+    if args.resume:
+        variables, _ = load_variables(args.resume)
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables.get("batch_stats"))
+    state = replicate(state, mesh)
+    train_step = jax.jit(make_train_step(model))
+    preprocess = jax.jit(lambda f: pre.preprocess_for_config(f, cfg))
+
+    key = jax.random.PRNGKey(0)
+    for step, (frames, labels) in enumerate(batches()):
+        if step >= args.steps:
+            break
+        images = preprocess(jnp.asarray(frames))
+        images, labels = shard_batch((images, jnp.asarray(labels)), mesh)
+        state, loss = train_step(state, images, labels,
+                                 jax.random.fold_in(key, step))
+        if step % args.log_every == 0:
+            log.info("step %d loss %.4f", step, float(loss))
+
+    variables = {"params": jax.device_get(state.params)}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    save_variables(args.out, variables, cfg)
+    log.info("saved %s", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
