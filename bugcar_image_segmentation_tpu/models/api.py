@@ -63,6 +63,8 @@ class Engine:
         self._predict = jax.jit(self._predict_impl)
         self._predict_binary = jax.jit(self._predict_binary_impl)
         self._logits = jax.jit(self._logits_impl)
+        self._predict_pre = jax.jit(self._predict_pre_impl)
+        self._predict_pre_binary = jax.jit(self._predict_pre_binary_impl)
 
     # -- pure jitted bodies --------------------------------------------------
 
@@ -79,6 +81,17 @@ class Engine:
 
     def _predict_binary_impl(self, frames_bgr: jax.Array) -> jax.Array:
         return remap.logits_to_binary_road(self._forward(frames_bgr))
+
+    def _predict_pre_impl(self, x: jax.Array) -> jax.Array:
+        # From an already-preprocessed NHWC batch (the reference's
+        # predict() contract, models.py:42 — preprocess was a separate
+        # host step there).
+        logits = self.module.apply(self.variables, x, train=False)
+        return remap.logits_to_drivability(logits, self.remap_table)
+
+    def _predict_pre_binary_impl(self, x: jax.Array) -> jax.Array:
+        logits = self.module.apply(self.variables, x, train=False)
+        return remap.logits_to_binary_road(logits)
 
     # -- public API (reference models.py:42/70 equivalents) ------------------
 
