@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models import remap as remap_mod
+
 from .models.api import Engine
 
 

@@ -19,7 +19,7 @@ identical regardless of where the numbers came from).
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Callable, Optional, Tuple
 
 import jax

@@ -22,7 +22,7 @@ self-contained (no scipy): intrinsic-xyz Euler → quaternion/matrix.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

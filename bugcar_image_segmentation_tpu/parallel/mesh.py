@@ -11,7 +11,7 @@ sharding wide classifier channels (tensor parallelism) at larger scales.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

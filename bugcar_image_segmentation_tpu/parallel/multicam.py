@@ -11,7 +11,7 @@ single-chip code from pipeline.py.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Sequence
 
 import jax

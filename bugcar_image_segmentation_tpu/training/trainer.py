@@ -19,7 +19,7 @@ provides:
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Callable, Optional, Tuple
 
 import jax
