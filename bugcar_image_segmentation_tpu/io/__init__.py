@@ -4,8 +4,9 @@
 - :mod:`~.sources` — synthetic / cv2 sources + ThreadedCapture
 """
 
+from .health import DropCounter, StallWatchdog
 from .ring import FrameRing
 from .sources import OpenCVSource, SyntheticSource, ThreadedCapture
 
-__all__ = ["FrameRing", "OpenCVSource", "SyntheticSource",
-           "ThreadedCapture"]
+__all__ = ["DropCounter", "FrameRing", "OpenCVSource", "StallWatchdog",
+           "SyntheticSource", "ThreadedCapture"]

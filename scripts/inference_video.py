@@ -48,7 +48,8 @@ def main() -> int:
     import jax.numpy as jnp
     from bugcar_image_segmentation_tpu.calibration import BEVTransform
     from bugcar_image_segmentation_tpu.configs import GridConfig
-    from bugcar_image_segmentation_tpu.io import (OpenCVSource,
+    from bugcar_image_segmentation_tpu.io import (DropCounter, OpenCVSource,
+                                                  StallWatchdog,
                                                   SyntheticSource,
                                                   ThreadedCapture)
     from bugcar_image_segmentation_tpu.models.api import build_engine
@@ -80,11 +81,12 @@ def main() -> int:
 
     publisher = GridPublisher(args.topic)
     meter = FPSMeter()
+    drops = DropCounter()
+    watchdog = StallWatchdog(stall_after_s=2.0).start()
     frame0 = next(iter(source))
     cap = ThreadedCapture(source, frame0.shape).start()
     cap.ring.push(frame0)
 
-    total_dropped = 0
     frames = 0
     t_start = time.time()
     while True:
@@ -92,7 +94,8 @@ def main() -> int:
         if item is None:
             break
         frame, dropped = item
-        total_dropped += dropped
+        drops.record(dropped)
+        watchdog.tick()
         # clahe / contour filtering run inside the fused program
         # (Pipeline flags above) — no host-side image passes.
         grid = np.asarray(pipe(jnp.asarray(frame)))
@@ -104,7 +107,7 @@ def main() -> int:
         frames += 1
         if frames % 60 == 0:
             log.info("%d frames, %.1f fps, %d dropped",
-                     frames, meter.fps, total_dropped)
+                     frames, meter.fps, drops.dropped)
         if args.display:
             import cv2
             vis = ((grid.astype(np.int16) + 1) * 2).astype(np.uint8)
@@ -112,9 +115,10 @@ def main() -> int:
             if (cv2.waitKey(1) & 0xFF) == ord("q"):
                 break
     cap.stop()
+    watchdog.stop()
     dt = time.time() - t_start
     log.info("done: %d frames in %.1fs (%.1f fps), %d dropped",
-             frames, dt, frames / max(dt, 1e-9), total_dropped)
+             frames, dt, frames / max(dt, 1e-9), drops.dropped)
     return 0
 
 
