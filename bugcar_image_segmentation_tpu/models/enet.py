@@ -28,6 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import pooling
+
 
 # ---------------------------------------------------------------------------
 # Pooling with indices (encoder) / unpooling (decoder)
@@ -117,7 +119,7 @@ class InitialBlock(nn.Module):
         conv = nn.Conv(13, (3, 3), strides=(2, 2), padding="SAME",
                        use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32)(x)
-        pool = nn.max_pool(x, (2, 2), strides=(2, 2))
+        pool = pooling.max_pool_2x2(x)
         out = jnp.concatenate([conv, pool], axis=-1)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-3, dtype=self.dtype,

@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import pooling
+
 
 class DoubleConv(nn.Module):
     features: int
@@ -57,7 +59,7 @@ class UNet(nn.Module):
         for i, w in enumerate(self.widths):
             x = DoubleConv(w, dtype=dt, name=f"enc{i}")(x, train)
             skips.append(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = pooling.max_pool_2x2(x)
 
         x = DoubleConv(self.bottleneck_width, dtype=dt,
                        name="bottleneck")(x, train)
