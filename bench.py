@@ -53,7 +53,7 @@ def main() -> None:
     lat = []
     for _ in range(20):
         t0 = time.perf_counter()
-        jax.block_until_ready(pipe._run(pipe._prep(frame)))
+        jax.block_until_ready(pipe._run(engine.variables, pipe._prep(frame)))
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1e3)
 
@@ -76,10 +76,10 @@ def main() -> None:
     # Device-side rate (frame resident in HBM): what co-located hardware
     # would see without the tunnel in the loop.
     dev_frame = pipe._prep(host_frames[0])
-    outs = [pipe._run(dev_frame)[0] for _ in range(50)]
+    outs = [pipe._run(engine.variables, dev_frame)[0] for _ in range(50)]
     jax.block_until_ready(outs)
     t0 = time.perf_counter()
-    outs = [pipe._run(dev_frame)[0] for _ in range(50)]
+    outs = [pipe._run(engine.variables, dev_frame)[0] for _ in range(50)]
     jax.block_until_ready(outs)
     dev_fps = 50 / (time.perf_counter() - t0)
 

@@ -60,6 +60,9 @@ class Engine:
             variables = module.init(jax.random.PRNGKey(0), dummy, train=False)
         self.variables = variables
 
+        # Variables are ARGUMENTS of every jitted program (not trace-time
+        # closures), so load_variables() takes effect without recompiling
+        # — the weights are already on device, passing the tree is free.
         self._predict = jax.jit(self._predict_impl)
         self._predict_binary = jax.jit(self._predict_binary_impl)
         self._logits = jax.jit(self._logits_impl)
@@ -68,39 +71,43 @@ class Engine:
 
     # -- pure jitted bodies --------------------------------------------------
 
-    def _forward(self, frames_bgr: jax.Array) -> jax.Array:
+    def _forward(self, variables: dict, frames_bgr: jax.Array) -> jax.Array:
         x = pre.preprocess_for_config(frames_bgr, self.cfg)
-        return self.module.apply(self.variables, x, train=False)
+        return self.module.apply(variables, x, train=False)
 
-    def _logits_impl(self, frames_bgr: jax.Array) -> jax.Array:
-        return self._forward(frames_bgr)
+    def _logits_impl(self, variables: dict,
+                     frames_bgr: jax.Array) -> jax.Array:
+        return self._forward(variables, frames_bgr)
 
-    def _predict_impl(self, frames_bgr: jax.Array) -> jax.Array:
-        return remap.logits_to_drivability(self._forward(frames_bgr),
-                                           self.remap_table)
+    def _predict_impl(self, variables: dict,
+                      frames_bgr: jax.Array) -> jax.Array:
+        return remap.logits_to_drivability(
+            self._forward(variables, frames_bgr), self.remap_table)
 
-    def _predict_binary_impl(self, frames_bgr: jax.Array) -> jax.Array:
-        return remap.logits_to_binary_road(self._forward(frames_bgr))
+    def _predict_binary_impl(self, variables: dict,
+                             frames_bgr: jax.Array) -> jax.Array:
+        return remap.logits_to_binary_road(
+            self._forward(variables, frames_bgr))
 
-    def _predict_pre_impl(self, x: jax.Array) -> jax.Array:
+    def _predict_pre_impl(self, variables: dict, x: jax.Array) -> jax.Array:
         # From an already-preprocessed NHWC batch (the reference's
         # predict() contract, models.py:42 — preprocess was a separate
         # host step there).
-        logits = self.module.apply(self.variables, x, train=False)
+        logits = self.module.apply(variables, x, train=False)
         return remap.logits_to_drivability(logits, self.remap_table)
 
-    def _predict_pre_binary_impl(self, x: jax.Array) -> jax.Array:
-        logits = self.module.apply(self.variables, x, train=False)
+    def _predict_pre_binary_impl(self, variables: dict,
+                                 x: jax.Array) -> jax.Array:
+        logits = self.module.apply(variables, x, train=False)
         return remap.logits_to_binary_road(logits)
 
     # -- public API (reference models.py:42/70 equivalents) ------------------
 
-    @staticmethod
-    def _batched(fn: Callable, frames_bgr) -> jax.Array:
+    def _batched(self, fn: Callable, frames_bgr) -> jax.Array:
         frames = jnp.asarray(frames_bgr)
         if frames.ndim == 3:
-            return fn(frames[None])[0]
-        return fn(frames)
+            return fn(self.variables, frames[None])[0]
+        return fn(self.variables, frames)
 
     def predict(self, frames_bgr) -> jax.Array:
         """BGR uint8 frame(s) → uint8 3-class drivability map(s).
@@ -122,7 +129,11 @@ class Engine:
     # -- weights --------------------------------------------------------------
 
     def load_variables(self, variables: dict) -> None:
-        """Swap in converted/trained weights (same tree structure)."""
+        """Swap in converted/trained weights (same tree structure).
+
+        Takes effect immediately on all compiled programs — weights are a
+        runtime argument, never a compile-time constant.
+        """
         jax.tree_util.tree_map(lambda a, b: None, self.variables, variables)
         self.variables = variables
 

@@ -64,9 +64,9 @@ class ShardedMultiCameraPipeline:
         self._builder0 = builders[0]
         self._taps_static = (taps0.src_shape, taps0.mode)
 
-        def local_body(frames, idx, wts):
+        def local_body(variables, frames, idx, wts):
             # frames: (cams_per_shard, H, W, 3) on this chip.
-            logits = engine._forward(frames)
+            logits = engine._forward(variables, frames)
             segs = remap.logits_to_drivability(logits, engine.remap_table)
             src_shape, mode = self._taps_static
 
@@ -82,13 +82,14 @@ class ShardedMultiCameraPipeline:
 
         self._fn = jax.jit(shard_map(
             local_body, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis)),
+            in_specs=(P(), P(axis), P(axis), P(axis)),
             out_specs=P(),
         ))
 
     def __call__(self, frames_bgr) -> jax.Array:
         """(N_cam, H, W, 3) uint8 BGR → stitched int8 grid (replicated)."""
-        return self._fn(jnp.asarray(frames_bgr), self._idx, self._wts)
+        return self._fn(self.engine.variables,
+                        jnp.asarray(frames_bgr), self._idx, self._wts)
 
 
 __all__ = ["ShardedMultiCameraPipeline"]

@@ -81,13 +81,13 @@ class Pipeline:
         self.host_resize = host_resize
         self._model_hw = got
 
-        def run(frame_bgr: jax.Array):
+        def run(variables: dict, frame_bgr: jax.Array):
             if use_clahe:
                 # Camera pre-enhancement fused into the same program
                 # (reference ran it on host, image_processing_utils.py:46).
                 from . import postproc
                 frame_bgr = postproc.clahe(frame_bgr)
-            logits = engine._forward(frame_bgr[None])
+            logits = engine._forward(variables, frame_bgr[None])
             if mode == "multiclass":
                 seg = remap.logits_to_drivability(logits,
                                                   engine.remap_table)[0]
@@ -109,9 +109,11 @@ class Pipeline:
                     seg = kept
             return self.builder.build(seg), seg
 
+        # Variables ride along as a runtime argument (see models/api.py) so
+        # engine.load_variables() affects compiled pipelines immediately.
         self._run = jax.jit(run)
         self._run_batch = jax.jit(jax.vmap(
-            lambda f: run(f)[0]))
+            lambda v, f: run(v, f)[0], in_axes=(None, 0)))
         self._run_impl = run
 
     def _prep(self, frame_bgr) -> jax.Array:
@@ -122,12 +124,12 @@ class Pipeline:
 
     def __call__(self, frame_bgr) -> jax.Array:
         """One uint8 BGR frame (H, W, 3) → int8 occupancy grid."""
-        grid, _ = self._run(self._prep(frame_bgr))
+        grid, _ = self._run(self.engine.variables, self._prep(frame_bgr))
         return grid
 
     def segment_and_grid(self, frame_bgr) -> Tuple[jax.Array, jax.Array]:
         """Returns (grid, segmentation map) from the same fused program."""
-        grid, seg = self._run(self._prep(frame_bgr))
+        grid, seg = self._run(self.engine.variables, self._prep(frame_bgr))
         return grid, seg
 
     # -- streaming ------------------------------------------------------------
@@ -166,7 +168,8 @@ class Pipeline:
             raise ValueError("transfer_batch must be >= 1")
         sync_chunk = min(depth, 8) if sync_chunk is None else sync_chunk
 
-        run_batch = (jax.jit(jax.vmap(lambda f: self._run_impl(f)[0]))
+        run_batch = (jax.jit(jax.vmap(lambda v, f: self._run_impl(v, f)[0],
+                                      in_axes=(None, 0)))
                      if transfer_batch > 1 else None)
         inflight: List[Tuple[jax.Array, int]] = []  # ((K, gh, gw), n_valid)
         pending: List[np.ndarray] = []   # host frames awaiting dispatch
@@ -176,7 +179,7 @@ class Pipeline:
                 return
             n = len(pending)
             if transfer_batch == 1:
-                grid, _ = self._run(self._prep(pending[0]))
+                grid, _ = self._run(self.engine.variables, self._prep(pending[0]))
                 inflight.append((grid[None], 1))
             else:
                 # Pad a final partial batch to the compiled shape (the
@@ -184,7 +187,7 @@ class Pipeline:
                 # cheaper than a recompile.
                 padded = pending + [pending[-1]] * (transfer_batch - n)
                 stacked = np.stack([self._prep_host(f) for f in padded])
-                inflight.append((run_batch(jnp.asarray(stacked)), n))
+                inflight.append((run_batch(self.engine.variables, jnp.asarray(stacked)), n))
             pending.clear()
 
         def drain(k: int):
@@ -223,7 +226,7 @@ class Pipeline:
         """Trigger compilation; returns compile seconds."""
         t0 = time.perf_counter()
         dummy = np.zeros(frame_shape, np.uint8)
-        jax.block_until_ready(self._run(self._prep(dummy)))
+        jax.block_until_ready(self._run(self.engine.variables, self._prep(dummy)))
         return time.perf_counter() - t0
 
 
@@ -252,8 +255,8 @@ class MultiCameraPipeline:
                 for b in self.builders}) != 1:
             raise ValueError("all cameras must share the grid geometry")
 
-        def run(frames_bgr: jax.Array) -> jax.Array:
-            logits = engine._forward(frames_bgr)
+        def run(variables: dict, frames_bgr: jax.Array) -> jax.Array:
+            logits = engine._forward(variables, frames_bgr)
             segs = remap.logits_to_drivability(logits, engine.remap_table)
             grids = [b.build(segs[i]) for i, b in enumerate(self.builders)]
             return stitch_grids(jnp.stack(grids))
@@ -262,7 +265,7 @@ class MultiCameraPipeline:
 
     def __call__(self, frames_bgr) -> jax.Array:
         """(N_cam, H, W, 3) uint8 BGR → stitched int8 grid."""
-        return self._run(jnp.asarray(frames_bgr))
+        return self._run(self.engine.variables, jnp.asarray(frames_bgr))
 
 
 def stitch_grids(grids: jax.Array) -> jax.Array:
