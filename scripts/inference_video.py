@@ -40,6 +40,8 @@ def main() -> int:
     p.add_argument("--contour-filter", action="store_true",
                    help="footwell-connectivity road filtering")
     p.add_argument("--display", action="store_true")
+    p.add_argument("--no-host-resize", action="store_true",
+                   help="resize on device instead of before the transfer")
     p.add_argument("--topic", default="/occupancy_grid")
     p.add_argument("--frame-id", default="base_link")
     args = p.parse_args()
@@ -68,7 +70,8 @@ def main() -> int:
     engine = build_engine(args.model, variables=variables)
     bev = BEVTransform.from_json(args.calib)
     pipe = Pipeline(engine, bev.config, GridConfig(gw, gh, cell),
-                    use_clahe=args.clahe, contour_filter=args.contour_filter)
+                    use_clahe=args.clahe, contour_filter=args.contour_filter,
+                    host_resize=not args.no_host_resize)
     log.info("compiling fused pipeline ...")
     log.info("compiled in %.1fs", pipe.warmup((480, 640, 3)))
 
