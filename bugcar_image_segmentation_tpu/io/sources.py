@@ -94,9 +94,13 @@ class ThreadedCapture:
     """
 
     def __init__(self, source, frame_shape: Tuple[int, int, int],
-                 capacity: int = 8):
+                 capacity: int = 8, block_when_full: bool = False):
         self.source = source
         self.ring = FrameRing(frame_shape, capacity=capacity)
+        self._capacity = capacity
+        # Live cameras overwrite (freshness wins); offline sources set
+        # block_when_full so no frame is ever lost to backpressure.
+        self.block_when_full = block_when_full
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.frames_pushed = 0
@@ -106,6 +110,10 @@ class ThreadedCapture:
             for frame in self.source:
                 if self._stop.is_set():
                     break
+                if self.block_when_full:
+                    while (self.ring.pending >= self._capacity - 1
+                           and not self._stop.is_set()):
+                        time.sleep(0.001)
                 self.ring.push(frame)
                 self.frames_pushed += 1
             self.ring.close()
@@ -116,8 +124,23 @@ class ThreadedCapture:
 
     def latest(self, timeout_ms: int = 200
                ) -> Optional[Tuple[np.ndarray, int]]:
-        """(freshest frame, frames dropped past) or None when exhausted."""
+        """(freshest frame, frames dropped past) or None when exhausted.
+
+        Live-camera semantics: always the newest frame, older ones count
+        as dropped.
+        """
         return self.ring.pop_latest(timeout_ms)
+
+    def next(self, timeout_ms: int = 200
+             ) -> Optional[Tuple[np.ndarray, int]]:
+        """(next in-order frame, sequence no.) or None when exhausted.
+
+        Offline semantics (recorded video / synthetic): every frame is
+        processed; the producer can still overwrite if it outruns the
+        consumer by more than the ring capacity, so size the ring
+        accordingly for lossless processing.
+        """
+        return self.ring.pop_next(timeout_ms)
 
     def stop(self) -> None:
         self._stop.set()

@@ -86,22 +86,20 @@ def main() -> int:
     meter = FPSMeter()
     drops = DropCounter()
     watchdog = StallWatchdog(stall_after_s=2.0).start()
+    # Live cameras: always process the freshest frame (older ones drop).
+    # Offline sources (video file / synthetic): process every frame in
+    # order with producer backpressure.
+    live = args.camera is not None
     frame0 = next(iter(source))
-    cap = ThreadedCapture(source, frame0.shape).start()
+    cap = ThreadedCapture(source, frame0.shape,
+                          block_when_full=not live).start()
     cap.ring.push(frame0)
 
     frames = 0
     t_start = time.time()
-    while True:
-        item = cap.latest(timeout_ms=500)
-        if item is None:
-            break
-        frame, dropped = item
-        drops.record(dropped)
-        watchdog.tick()
-        # clahe / contour filtering run inside the fused program
-        # (Pipeline flags above) — no host-side image passes.
-        grid = np.asarray(pipe(jnp.asarray(frame)))
+
+    def handle(grid: np.ndarray) -> bool:
+        nonlocal frames
         msg = to_occupancy_grid_msg(grid, cell, gw, gh,
                                     time_stamp=time.time(),
                                     frame_id=args.frame_id)
@@ -115,7 +113,35 @@ def main() -> int:
             import cv2
             vis = ((grid.astype(np.int16) + 1) * 2).astype(np.uint8)
             cv2.imshow("occupancy", vis)
-            if (cv2.waitKey(1) & 0xFF) == ord("q"):
+            return (cv2.waitKey(1) & 0xFF) != ord("q")
+        return True
+
+    if live:
+        # Latency-first: freshest frame, blocking result each iteration.
+        while True:
+            item = cap.latest(timeout_ms=500)
+            if item is None:
+                break
+            frame, dropped = item
+            drops.record(dropped)
+            watchdog.tick()
+            # clahe / contour filtering run inside the fused program
+            # (Pipeline flags above) — no host-side image passes.
+            if not handle(np.asarray(pipe(jnp.asarray(frame)))):
+                break
+    else:
+        # Throughput-first: every frame, deep async pipeline, chunked
+        # result syncs (pipeline.stream).
+        def frame_gen():
+            while True:
+                item = cap.next(timeout_ms=500)
+                if item is None:
+                    return
+                watchdog.tick()
+                yield item[0]
+
+        for grid in pipe.stream(frame_gen(), depth=16, sync_chunk=16):
+            if not handle(grid):
                 break
     cap.stop()
     watchdog.stop()
