@@ -28,6 +28,15 @@ def main() -> None:
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Retry transient tunnel-plugin registration failures.
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError:
+            if attempt == 4:
+                raise
+            time.sleep(5.0)
 
     from bugcar_image_segmentation_tpu.configs import GridConfig, ModelConfig
     from bugcar_image_segmentation_tpu.io import SyntheticSource
