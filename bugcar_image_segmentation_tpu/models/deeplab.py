@@ -121,6 +121,10 @@ class DeepLabV3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if x.ndim != 4 or x.shape[1] % 16 or x.shape[2] % 16:
+            raise ValueError(
+                f"DeepLabV3 needs NHWC input with H, W divisible by 16 "
+                f"(output stride); got {x.shape}")
         dt = self.dtype
         x = x.astype(dt)
         h, w = x.shape[1], x.shape[2]

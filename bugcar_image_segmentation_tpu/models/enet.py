@@ -221,6 +221,10 @@ class ENet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if x.ndim != 4 or x.shape[1] % 8 or x.shape[2] % 8:
+            raise ValueError(
+                f"ENet needs NHWC input with H, W divisible by 8 "
+                f"(3 levels of 2x down/up-sampling); got {x.shape}")
         dt = self.dtype
         x = x.astype(dt)
         x = InitialBlock(dtype=dt, name="initial")(x, train)

@@ -146,6 +146,10 @@ class SegFormer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if x.ndim != 4 or x.shape[1] % 32 or x.shape[2] % 32:
+            raise ValueError(
+                f"SegFormer needs NHWC input with H, W divisible by 32 "
+                f"(4 stages of patch merging); got {x.shape}")
         dt = self.dtype
         x = x.astype(dt)
         n, h0, w0, _ = x.shape

@@ -52,6 +52,11 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        div = 2 ** len(self.widths)
+        if x.ndim != 4 or x.shape[1] % div or x.shape[2] % div:
+            raise ValueError(
+                f"UNet needs NHWC input with H, W divisible by {div}; "
+                f"got {x.shape}")
         dt = self.dtype
         x = x.astype(dt)
 
