@@ -149,6 +149,37 @@ class TestTraining:
         assert losses[-1] < losses[0], losses
         assert state.batch_stats is not None
 
+    def test_learns_synthetic_task(self, rng):
+        """End-to-end learning check: a small UNet must master a
+        deterministic per-pixel color→class task (>90% accuracy after
+        ~100 updates) — proves gradients flow through conv, BN,
+        transposed-conv and skip paths, not just that loss decreases."""
+        from bugcar_image_segmentation_tpu.models.unet import UNet
+
+        model = UNet(num_classes=15, widths=(8, 16), bottleneck_width=32,
+                     dtype=jnp.float32)
+        state = create_train_state(model, (1, 16, 32, 3),
+                                   learning_rate=5e-3)
+        step = jax.jit(make_train_step(model))
+        ev = jax.jit(make_eval_step(model))
+        key = jax.random.PRNGKey(0)
+
+        def batch(i):
+            r = np.random.default_rng(i)
+            imgs = r.normal(size=(8, 16, 32, 3)).astype(np.float32)
+            labels = (imgs[..., 0] > imgs[..., 2]).astype(np.int32) * 2
+            return jnp.asarray(imgs), jnp.asarray(labels)
+
+        for i in range(120):
+            images, labels = batch(i)
+            state, _ = step(state, images, labels,
+                            jax.random.fold_in(key, i))
+
+        images, labels = batch(9999)
+        pred = jnp.argmax(ev(state, images), axis=-1)
+        acc = float((pred == labels).mean())
+        assert acc > 0.9, f"accuracy {acc} — training is not learning"
+
     def test_eval_step_shapes(self, rng):
         model = ENet(num_classes=15, dtype=jnp.float32)
         state = create_train_state(model, (1, 32, 64, 3))
