@@ -42,6 +42,8 @@ def main() -> int:
     p.add_argument("--display", action="store_true")
     p.add_argument("--no-host-resize", action="store_true",
                    help="resize on device instead of before the transfer")
+    p.add_argument("--temporal-fusion", action="store_true",
+                   help="log-odds evidence accumulation across frames")
     p.add_argument("--topic", default="/occupancy_grid")
     p.add_argument("--frame-id", default="base_link")
     args = p.parse_args()
@@ -57,6 +59,7 @@ def main() -> int:
     from bugcar_image_segmentation_tpu.models.api import build_engine
     from bugcar_image_segmentation_tpu.msg import (GridPublisher,
                                                    to_occupancy_grid_msg)
+    from bugcar_image_segmentation_tpu.fusion import TemporalGridFusion
     from bugcar_image_segmentation_tpu.pipeline import Pipeline
     from bugcar_image_segmentation_tpu.utils import FPSMeter, get_logger
     from bugcar_image_segmentation_tpu.utils.checkpoint import load_variables
@@ -97,9 +100,13 @@ def main() -> int:
 
     frames = 0
     t_start = time.time()
+    fusion = (TemporalGridFusion((int(gh / cell), int(gw / cell)))
+              if args.temporal_fusion else None)
 
     def handle(grid: np.ndarray) -> bool:
         nonlocal frames
+        if fusion is not None:
+            grid = np.asarray(fusion.update(grid))
         msg = to_occupancy_grid_msg(grid, cell, gw, gh,
                                     time_stamp=time.time(),
                                     frame_id=args.frame_id)
