@@ -14,6 +14,7 @@ Layer map (bottom-up):
   models/     ENet / DeepLabV3 / UNet / SegFormer engines (Flax, NHWC)
   convert/    frozen TF GraphDef / Keras h5 → Flax weight bridges
   grid        segmap → occupancy grid as one jitted program
+  fusion      temporal log-odds evidence accumulation
   pipeline    fused frame→grid; streaming; multi-camera stitch
   postproc    contour filtering, CLAHE (device-side)
   fov         BEV field-of-view footprint/outline
@@ -28,6 +29,7 @@ Layer map (bottom-up):
 from . import configs, geometry
 from .calibration import BEVTransform
 from .configs import CalibrationConfig, GridConfig, ModelConfig, RuntimeConfig
+from .fusion import FusionState, TemporalGridFusion, fuse_step
 from .grid import (OccupancyGridBuilder, create_occupancy_grid,
                    create_occupancy_grid_binary)
 from .pipeline import MultiCameraPipeline, Pipeline, stitch_grids
@@ -39,4 +41,5 @@ __all__ = [
     "RuntimeConfig", "OccupancyGridBuilder", "create_occupancy_grid",
     "create_occupancy_grid_binary", "Pipeline", "MultiCameraPipeline",
     "stitch_grids", "configs", "geometry",
+    "FusionState", "TemporalGridFusion", "fuse_step",
 ]

@@ -7,12 +7,19 @@ standard log-odds temporal filter as a jitted scan-friendly update:
     odds_t = clip(decay * odds_{t-1} + obs_t)
 
 where per-frame grids (int8 {-1, 0, 100}) map to observation increments
-(unknown→0, free→-1 step, occupied→+1 step).  The fused grid thresholds
-the odds back into the same int8 {-1, 0, 100} alphabet, so it drops into
-the existing message adapter unchanged.  Cells never observed stay -1.
+(unknown→0, free→-1 step, occupied→+1 step).  Rendering back to the same
+int8 alphabet is evidence-gated in both directions: a cell is *occupied*
+only above ``occupied_threshold`` (one glitch frame is not enough at the
+defaults) and *free* only below ``-free_threshold`` — mere absence of
+observations decays toward 0 and renders as **unknown**, never as free,
+so the filter cannot invent traversable space for cells it stopped
+seeing.  Cells never observed stay -1.
 
-Pure function + tiny state pytree: compose it after the pipeline inside
-jit, vmap it over camera rigs, or run it standalone.
+Pure function + tiny state pytree: compose :func:`fuse_step` after the
+pipeline inside jit / ``lax.scan``, or use :class:`TemporalGridFusion`
+host-side (numpy by default — the per-frame grid is already on the host
+there, and a device round-trip for an 80x80 elementwise op would cost
+more than it computes on a remote TPU link).
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.tree_util.register_pytree_node_class
@@ -50,7 +58,8 @@ def fuse_step(state: FusionState,
               decay: float = 0.9,
               step: float = 1.0,
               max_odds: float = 5.0,
-              occupied_threshold: float = 0.5,
+              occupied_threshold: float = 1.5,
+              free_threshold: float = 0.25,
               ) -> Tuple[FusionState, jax.Array]:
     """One temporal update; jit/scan-safe.
 
@@ -60,7 +69,13 @@ def fuse_step(state: FusionState,
       decay: evidence half-life knob (closer to 1 = longer memory).
       step: evidence increment per observation.
       max_odds: saturation bound.
-      occupied_threshold: odds above this render as occupied.
+      occupied_threshold: odds above this render occupied.  The default
+        (1.5 with step 1.0) requires ≥2 net occupied observations — one
+        glitch frame stays unknown/free.
+      free_threshold: odds below ``-free_threshold`` render free.  Free
+        therefore requires actual free *evidence*; cells whose evidence
+        merely decayed away (e.g. they left the FOV) render unknown, not
+        free.
 
     Returns:
       (new state, fused int8 grid in the same {-1, 0, 100} alphabet).
@@ -72,29 +87,75 @@ def fuse_step(state: FusionState,
     observed = state.observed | seen
 
     fused = jnp.where(~observed, jnp.int8(-1),
-                      jnp.where(odds > occupied_threshold,
-                                jnp.int8(100), jnp.int8(0)))
+                      jnp.where(odds > occupied_threshold, jnp.int8(100),
+                                jnp.where(odds < -free_threshold,
+                                          jnp.int8(0), jnp.int8(-1))))
     return FusionState(odds=odds, observed=observed), fused
 
 
+def _fuse_step_np(odds: np.ndarray, observed: np.ndarray,
+                  grid: np.ndarray, decay: float, step: float,
+                  max_odds: float, occupied_threshold: float,
+                  free_threshold: float):
+    """Host-side twin of :func:`fuse_step` (same math, numpy)."""
+    grid = np.asarray(grid)
+    seen = grid != -1
+    obs = np.where(grid == 100, step,
+                   np.where(seen, -step, 0.0)).astype(np.float32)
+    odds = np.clip(decay * odds + obs, -max_odds, max_odds)
+    observed = observed | seen
+    fused = np.full(grid.shape, -1, np.int8)
+    fused[observed & (odds < -free_threshold)] = 0
+    fused[observed & (odds > occupied_threshold)] = 100
+    return odds, observed, fused
+
+
 class TemporalGridFusion:
-    """Stateful convenience wrapper around :func:`fuse_step`."""
+    """Stateful convenience wrapper.
+
+    ``backend="numpy"`` (default) runs on the host — right for the
+    streaming loop, where grids already live in host memory and a device
+    round-trip would dominate the 80x80 elementwise math on a remote
+    link.  ``backend="jax"`` wraps the jitted :func:`fuse_step` for
+    callers composing on-device.
+    """
 
     def __init__(self, shape: Tuple[int, int], decay: float = 0.9,
                  step: float = 1.0, max_odds: float = 5.0,
-                 occupied_threshold: float = 0.5):
-        self.state = FusionState.create(shape)
-        self._step = jax.jit(
-            lambda s, g: fuse_step(s, g, decay=decay, step=step,
-                                   max_odds=max_odds,
-                                   occupied_threshold=occupied_threshold))
+                 occupied_threshold: float = 1.5,
+                 free_threshold: float = 0.25,
+                 backend: str = "numpy"):
+        if backend not in ("numpy", "jax"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        self._shape = tuple(shape)
+        self._params = (decay, step, max_odds, occupied_threshold,
+                        free_threshold)
+        if backend == "jax":
+            self.state = FusionState.create(shape)
+            self._step = jax.jit(
+                lambda s, g: fuse_step(s, g, decay=decay, step=step,
+                                       max_odds=max_odds,
+                                       occupied_threshold=occupied_threshold,
+                                       free_threshold=free_threshold))
+        else:
+            self._odds = np.zeros(shape, np.float32)
+            self._observed = np.zeros(shape, bool)
 
-    def update(self, grid) -> jax.Array:
-        self.state, fused = self._step(self.state, jnp.asarray(grid))
+    def update(self, grid):
+        if self.backend == "jax":
+            self.state, fused = self._step(self.state, jnp.asarray(grid))
+            return fused
+        self._odds, self._observed, fused = _fuse_step_np(
+            self._odds, self._observed, grid, *self._params)
         return fused
 
     def reset(self) -> None:
-        self.state = FusionState.create(self.state.odds.shape)
+        if self.backend == "jax":
+            self.state = FusionState.create(self._shape)
+        else:
+            self._odds = np.zeros(self._shape, np.float32)
+            self._observed = np.zeros(self._shape, bool)
 
 
 __all__ = ["FusionState", "fuse_step", "TemporalGridFusion"]

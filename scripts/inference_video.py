@@ -44,6 +44,9 @@ def main() -> int:
                    help="resize on device instead of before the transfer")
     p.add_argument("--temporal-fusion", action="store_true",
                    help="log-odds evidence accumulation across frames")
+    p.add_argument("--fusion-decay", type=float, default=0.9)
+    p.add_argument("--fusion-occupied-threshold", type=float, default=1.5)
+    p.add_argument("--fusion-free-threshold", type=float, default=0.25)
     p.add_argument("--topic", default="/occupancy_grid")
     p.add_argument("--frame-id", default="base_link")
     args = p.parse_args()
@@ -100,13 +103,19 @@ def main() -> int:
 
     frames = 0
     t_start = time.time()
-    fusion = (TemporalGridFusion((int(gh / cell), int(gw / cell)))
-              if args.temporal_fusion else None)
+    # Host-side (numpy) fusion: the grids are already host arrays here,
+    # and a device round-trip per 80x80 elementwise update would cost more
+    # than it computes on a remote TPU link.
+    fusion = (TemporalGridFusion(
+        (int(gh / cell), int(gw / cell)), decay=args.fusion_decay,
+        occupied_threshold=args.fusion_occupied_threshold,
+        free_threshold=args.fusion_free_threshold, backend="numpy")
+        if args.temporal_fusion else None)
 
     def handle(grid: np.ndarray) -> bool:
         nonlocal frames
         if fusion is not None:
-            grid = np.asarray(fusion.update(grid))
+            grid = fusion.update(grid)
         msg = to_occupancy_grid_msg(grid, cell, gw, gh,
                                     time_stamp=time.time(),
                                     frame_id=args.frame_id)

@@ -1,6 +1,7 @@
-"""Temporal grid fusion: evidence semantics and learning-loop sanity."""
+"""Temporal grid fusion: evidence semantics, safety, backend parity."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -21,38 +22,40 @@ class TestFuseStep:
         assert out[0, 0] == -1 and out[0, 1] == -1 and out[1, 0] == -1
         assert out[1, 1] == 0
 
-    def test_occupied_needs_evidence_and_decays(self):
-        fusion = TemporalGridFusion((1, 1), decay=0.5, step=1.0,
-                                    occupied_threshold=0.5)
-        # one occupied observation → odds 1.0 > 0.5 → occupied
-        assert int(fusion.update(g([[100]]))[0, 0]) == 100
-        # consistent free observations flip it back
-        fusion.update(g([[0]]))
-        out = fusion.update(g([[0]]))
-        assert int(out[0, 0]) == 0
+    def test_single_glitch_does_not_mark_occupied(self):
+        """Default thresholds: one spurious occupied frame renders
+        unknown, not occupied (the flicker the filter exists to stop)."""
+        state = FusionState.create((1, 1))
+        state, fused = fuse_step(state, g([[100]]))
+        assert int(fused[0, 0]) == -1
+        # a second consistent observation crosses the threshold
+        state, fused = fuse_step(state, g([[100]]))
+        assert int(fused[0, 0]) == 100
 
-    def test_flicker_suppression(self):
-        """A single spurious occupied frame amid free frames must not
-        flip a long-observed free cell."""
-        fusion = TemporalGridFusion((1, 1), decay=0.9, step=1.0,
-                                    occupied_threshold=1.5)
-        for _ in range(10):
-            fusion.update(g([[0]]))
-        out = fusion.update(g([[100]]))   # one glitch frame
-        assert int(out[0, 0]) == 0
-        # but persistent evidence does flip it
-        for _ in range(10):
-            out = fusion.update(g([[100]]))
-        assert int(out[0, 0]) == 100
+    def test_free_requires_evidence_not_mere_decay(self):
+        """SAFETY: cells that leave the FOV must never drift to 'free' —
+        odds decaying toward 0 renders unknown until fresh evidence."""
+        state = FusionState.create((1, 1))
+        for _ in range(6):                       # solid obstacle
+            state, fused = fuse_step(state, g([[100]]))
+        assert int(fused[0, 0]) == 100
+        # camera pans away: belief decays through occupied → unknown,
+        # NEVER through free
+        seen_states = []
+        for _ in range(60):
+            state, fused = fuse_step(state, g([[-1]]))
+            seen_states.append(int(fused[0, 0]))
+        assert 0 not in seen_states
+        assert seen_states[-1] == -1             # eventually stale/unknown
+        assert seen_states[0] == 100             # short memory holds
 
-    def test_memory_of_fov_exits(self):
-        """Cells that leave the FOV keep their last belief (decayed), not
-        reset to unknown."""
-        fusion = TemporalGridFusion((1, 1), decay=0.9)
-        for _ in range(5):
-            fusion.update(g([[100]]))
-        out = fusion.update(g([[-1]]))    # now outside FOV
-        assert int(out[0, 0]) == 100
+    def test_consistent_free_flips_occupied(self):
+        state = FusionState.create((1, 1))
+        for _ in range(6):
+            state, fused = fuse_step(state, g([[100]]))
+        for _ in range(10):
+            state, fused = fuse_step(state, g([[0]]))
+        assert int(fused[0, 0]) == 0
 
     def test_scan_composability(self):
         """fuse_step threads through lax.scan (online filtering shape)."""
@@ -65,3 +68,29 @@ class TestFuseStep:
                                         frames)
         assert fused_seq.shape == (3, 1, 2)
         assert int(fused_seq[1, 0, 0]) == 100
+
+
+class TestBackends:
+    @pytest.mark.parametrize("frames", [
+        [[[100]], [[100]], [[0]], [[-1]], [[0]], [[0]]],
+        [[[0]], [[-1]], [[100]], [[100]], [[100]], [[-1]]],
+    ])
+    def test_numpy_matches_jax(self, frames):
+        fj = TemporalGridFusion((1, 1), backend="jax")
+        fn = TemporalGridFusion((1, 1), backend="numpy")
+        for frame in frames:
+            a = np.asarray(fj.update(g(frame)))
+            b = np.asarray(fn.update(np.asarray(frame, np.int8)))
+            np.testing.assert_array_equal(a, b)
+
+    def test_reset(self):
+        f = TemporalGridFusion((1, 1))
+        f.update(np.asarray([[100]], np.int8))
+        f.update(np.asarray([[100]], np.int8))
+        f.reset()
+        out = f.update(np.asarray([[100]], np.int8))
+        assert int(out[0, 0]) == -1   # back below threshold after reset
+
+    def test_unknown_backend_raises(self):
+        with pytest.raises(ValueError, match="backend"):
+            TemporalGridFusion((1, 1), backend="torch")
