@@ -69,13 +69,13 @@ def main() -> None:
     # Sustained throughput: stream with deep async dispatch and chunked
     # result sync (amortizes the host<->device round-trip latency, which
     # through the tunneled TPU dwarfs the 2.2 ms of per-frame compute).
-    # Best of 3 trials — the tunnel's bandwidth fluctuates by multiples
+    # Best of 7 trials — the tunnel's bandwidth fluctuates by multiples
     # between runs, and the best trial is the least weather-contaminated
     # estimate of the pipeline's real rate.
     n_frames = 100
     host_frames = list(SyntheticSource((480, 640, 3), num_frames=n_frames))
     trials = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         count = sum(1 for _ in Pipeline.stream(
             pipe, iter(host_frames), depth=16, sync_chunk=16))
