@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .configs import CalibrationConfig, GridConfig, ModelConfig
+from .configs import (CalibrationConfig, GridConfig, ModelConfig,
+                      RuntimeConfig)
 from .grid import OccupancyGridBuilder
 from .models import remap
 from .models import preprocess as pre
@@ -80,6 +81,7 @@ class Pipeline:
         # resize inside the fused program.
         self.host_resize = host_resize
         self._model_hw = got
+        self.default_depth = 2
 
         def run(variables: dict, frame_bgr: jax.Array):
             if use_clahe:
@@ -116,6 +118,25 @@ class Pipeline:
             lambda v, f: run(v, f)[0], in_axes=(None, 0)))
         self._run_impl = run
 
+    @classmethod
+    def from_configs(cls,
+                     engine: Engine,
+                     cal: CalibrationConfig,
+                     grid_cfg: GridConfig,
+                     runtime: RuntimeConfig,
+                     **overrides) -> "Pipeline":
+        """Build a pipeline from a :class:`~.configs.RuntimeConfig`.
+
+        The runtime config's ``warp_interpolation`` selects the parity
+        mode and its ``pipeline_depth`` becomes the default streaming
+        depth (see :meth:`stream`); keyword overrides win.
+        """
+        kwargs = dict(interpolation=runtime.warp_interpolation)
+        kwargs.update(overrides)
+        pipe = cls(engine, cal, grid_cfg, **kwargs)
+        pipe.default_depth = runtime.pipeline_depth
+        return pipe
+
     def _prep(self, frame_bgr) -> jax.Array:
         """Optional host-side resize, then the host→device transfer."""
         if not self.host_resize:
@@ -136,7 +157,7 @@ class Pipeline:
 
     def stream(self,
                frames: Iterable[np.ndarray],
-               depth: int = 2,
+               depth: Optional[int] = None,
                sync_chunk: Optional[int] = None,
                transfer_batch: int = 1,
                ) -> Iterator[np.ndarray]:
@@ -162,6 +183,7 @@ class Pipeline:
 
         Grids are yielded in order in all modes.
         """
+        depth = self.default_depth if depth is None else depth
         if depth < 1:
             raise ValueError("depth must be >= 1")
         if transfer_batch < 1:

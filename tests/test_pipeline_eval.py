@@ -133,6 +133,17 @@ class TestPipeline:
             np.asarray(Pipeline(engine, cal, GRID)(small)),
             np.asarray(pipe_host(small)))
 
+    def test_from_configs_runtime(self, engine, rng):
+        from bugcar_image_segmentation_tpu.configs import RuntimeConfig
+        cal = make_cal()
+        rt = RuntimeConfig(pipeline_depth=4, warp_interpolation="nearest")
+        pipe = Pipeline.from_configs(engine, cal, GRID, rt)
+        assert pipe.default_depth == 4
+        frame = rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+        grids = list(pipe.stream(iter([frame, frame, frame])))
+        assert len(grids) == 3
+        np.testing.assert_array_equal(grids[0], grids[1])
+
     def test_binary_mode(self, engine, rng):
         cal = make_cal()
         pipe = Pipeline(engine, cal, GRID, mode="binary")
