@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Train ENet on procedural road scenes and save a demo checkpoint.
+
+Produces ``checkpoints/enet_synthetic.msgpack`` — real learned weights so
+demos/evals exercise meaningful drivability maps instead of random ones
+(the reference's weights never shipped: .MISSING_LARGE_BLOBS).
+
+  python scripts/make_demo_checkpoint.py [--steps 600] [--batch 8]
+      [--width 512 --height 256] [--out checkpoints/enet_synthetic.msgpack]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--out", default="checkpoints/enet_synthetic.msgpack")
+    p.add_argument("--log-every", type=int, default=50)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bugcar_image_segmentation_tpu import synthetic
+    from bugcar_image_segmentation_tpu.configs import ModelConfig
+    from bugcar_image_segmentation_tpu.evaluation import evaluate_model
+    from bugcar_image_segmentation_tpu.models import preprocess as pre
+    from bugcar_image_segmentation_tpu.models.api import Engine
+    from bugcar_image_segmentation_tpu.models.enet import ENet
+    from bugcar_image_segmentation_tpu.training import (create_train_state,
+                                                        make_train_step)
+    from bugcar_image_segmentation_tpu.utils import get_logger
+    from bugcar_image_segmentation_tpu.utils.checkpoint import save_variables
+
+    log = get_logger("make_demo_checkpoint")
+    shape = (args.height, args.width)
+    cfg = ModelConfig(input_width=args.width, input_height=args.height,
+                      dtype="bfloat16")
+    model = ENet(num_classes=15, dtype=jnp.bfloat16)
+    state = create_train_state(model, (1, args.height, args.width, 3),
+                               learning_rate=args.lr)
+    train_step = jax.jit(make_train_step(model))
+    preprocess = jax.jit(lambda f: pre.preprocess_for_config(f, cfg))
+
+    def batch(i):
+        rng = np.random.default_rng(i)
+        pairs = [synthetic.road_scene(np.random.default_rng(i * 1000 + k),
+                                      shape) for k in range(args.batch)]
+        frames = np.stack([p[0] for p in pairs])
+        labels = np.stack([p[1] for p in pairs]).astype(np.int32)
+        del rng
+        return frames, labels
+
+    log.info("training ENet %dx%d for %d steps on %s ...",
+             args.width, args.height, args.steps, jax.default_backend())
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for i in range(args.steps):
+        frames, labels = batch(i)
+        images = preprocess(jnp.asarray(frames))
+        state, loss = train_step(state, images, jnp.asarray(labels),
+                                 jax.random.fold_in(key, i))
+        if i % args.log_every == 0:
+            log.info("step %d loss %.4f (%.1fs)", i, float(loss),
+                     time.time() - t0)
+
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_variables(args.out, variables, cfg)
+    log.info("saved %s", args.out)
+
+    # Validation: drivability IoU on held-out scenes.
+    engine = Engine(model, cfg, variables=variables)
+    val = synthetic.dataset(seed=777, num=16, shape=shape)
+    metrics = evaluate_model(engine, val)
+    log.info("validation (3-class drivability): %s", metrics.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
