@@ -109,7 +109,13 @@ class Pipeline:
                                     jnp.uint8(remap.FLAT_NON_ROAD), seg)
                 else:
                     seg = kept
-            return self.builder.build(seg), seg
+            out = self.builder.build(seg)
+            if isinstance(out, tuple):
+                # binary+laserscan returns (plain, laserscan-like)
+                # (reference bev.py:164); stack so the streaming machinery
+                # sees one array — grid[0] plain, grid[1] ray-cast.
+                out = jnp.stack(out)
+            return out, seg
 
         # Variables ride along as a runtime argument (see models/api.py) so
         # engine.load_variables() affects compiled pipelines immediately.

@@ -153,6 +153,22 @@ class TestPipeline:
             engine.predict_binary(frame)))
         np.testing.assert_array_equal(out, staged)
 
+    def test_binary_laserscan_stacks_pair_and_streams(self, engine, rng):
+        """binary+laserscan (the reference's tuple-return quirk,
+        bev.py:164) stacks into (2, H, W) so streaming still works."""
+        import dataclasses
+        cal = dataclasses.replace(make_cal(), laserscan=True)
+        pipe = Pipeline(engine, cal, GRID, mode="binary")
+        frame = rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+        out = np.asarray(pipe(frame))
+        assert out.shape == (2, 20, 20)
+        plain, ray = OccupancyGridBuilder(cal, GRID, mode="binary")(
+            engine.predict_binary(frame))
+        np.testing.assert_array_equal(out[0], np.asarray(plain))
+        np.testing.assert_array_equal(out[1], np.asarray(ray))
+        grids = list(pipe.stream(iter([frame, frame, frame]), depth=2))
+        assert len(grids) == 3 and grids[0].shape == (2, 20, 20)
+
 
 class TestMultiCamera:
     def test_stitch_is_per_camera_max(self, engine, rng):
