@@ -17,6 +17,11 @@ angles = st.floats(min_value=-np.pi, max_value=np.pi,
                    allow_nan=False, allow_infinity=False)
 
 
+def _cross2(a, b):
+    # np.cross on 2-vectors is deprecated in numpy 2.x
+    return a[0] * b[1] - a[1] * b[0]
+
+
 def quad(points):
     """Reject (near-)degenerate quads so the homography solve is sane:
     no two points close, no three points (near-)collinear."""
@@ -28,7 +33,7 @@ def quad(points):
     import itertools
     for a, b, c in itertools.combinations(range(4), 3):
         ab, ac = pts[b] - pts[a], pts[c] - pts[a]
-        if abs(np.cross(ab, ac)) < 10.0:
+        if abs(_cross2(ab, ac)) < 10.0:
             return False
     return True
 
@@ -86,7 +91,7 @@ class TestHomographyProperties:
         span = np.linalg.norm(wb - wa)
         if span < 1e-6 or span > 1e6:
             return
-        dev = abs(np.cross(wb - wa, wm - wa)) / span
+        dev = abs(_cross2(wb - wa, wm - wa)) / span
         assert dev < 1e-4 * max(1.0, span)
 
 
