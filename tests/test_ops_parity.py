@@ -192,3 +192,26 @@ class TestPolar:
         got = polar.fast_atan2_deg(ys, xs)
         want = np.degrees(np.arctan2(ys, xs)) % 360.0
         np.testing.assert_allclose(got, want, atol=0.31)
+
+
+class TestPooling:
+    def test_max_pool_2x2_matches_flax(self, rng):
+        import flax.linen as nn
+        import jax.numpy as jnp
+        from bugcar_image_segmentation_tpu.ops import pooling
+        x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(pooling.max_pool_2x2(x)),
+            np.asarray(nn.max_pool(x, (2, 2), strides=(2, 2))))
+
+    def test_general_max_pool_matches_flax(self, rng):
+        import flax.linen as nn
+        import jax.numpy as jnp
+        from bugcar_image_segmentation_tpu.ops import pooling
+        x = jnp.asarray(rng.normal(size=(1, 12, 15, 3)).astype(np.float32))
+        for window, strides in (((3, 3), (3, 3)), ((2, 3), (2, 3)),
+                                ((3, 3), (1, 1)), ((2, 2), (1, 1))):
+            got = np.asarray(pooling.max_pool(x, window, strides))
+            want = np.asarray(nn.max_pool(x, window, strides=strides))
+            np.testing.assert_array_equal(got, want, err_msg=str((window,
+                                                                  strides)))
