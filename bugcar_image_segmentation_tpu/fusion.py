@@ -93,6 +93,30 @@ def fuse_step(state: FusionState,
     return FusionState(odds=odds, observed=observed), fused
 
 
+def translate_state(state: FusionState, dy_cells, dx_cells) -> FusionState:
+    """Shift accumulated evidence by whole cells (ego-motion compensation).
+
+    The grid is vehicle-anchored (bottom-center, reference bev.py:183-194),
+    so when the robot moves between frames the *world* evidence must shift
+    the opposite way in grid coordinates.  ``dy_cells > 0`` moves evidence
+    down (robot moved forward), ``dx_cells > 0`` moves it right (robot
+    moved left).  Cells shifted in from outside become unobserved.  Shifts
+    may be traced values — jit/scan-safe (``jnp.roll`` + edge masks).
+    """
+    h, w = state.odds.shape
+    dy = jnp.asarray(dy_cells, jnp.int32)
+    dx = jnp.asarray(dx_cells, jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # valid source region after the roll
+    valid = ((rows - dy >= 0) & (rows - dy < h)
+             & (cols - dx >= 0) & (cols - dx < w))
+    odds = jnp.roll(jnp.roll(state.odds, dy, axis=0), dx, axis=1)
+    observed = jnp.roll(jnp.roll(state.observed, dy, axis=0), dx, axis=1)
+    return FusionState(odds=jnp.where(valid, odds, 0.0),
+                       observed=jnp.where(valid, observed, False))
+
+
 def _fuse_step_np(odds: np.ndarray, observed: np.ndarray,
                   grid: np.ndarray, decay: float, step: float,
                   max_odds: float, occupied_threshold: float,
@@ -118,17 +142,26 @@ class TemporalGridFusion:
     round-trip would dominate the 80x80 elementwise math on a remote
     link.  ``backend="jax"`` wraps the jitted :func:`fuse_step` for
     callers composing on-device.
+
+    ``cell_m`` enables ego-motion compensation: pass
+    ``update(grid, motion_m=(forward, left))`` with the robot's metric
+    displacement since the previous frame and the accumulated evidence is
+    translated to stay world-aligned (fractional cells accumulate across
+    frames, so slow motion is not lost to quantization).
     """
 
     def __init__(self, shape: Tuple[int, int], decay: float = 0.9,
                  step: float = 1.0, max_odds: float = 5.0,
                  occupied_threshold: float = 1.5,
                  free_threshold: float = 0.25,
-                 backend: str = "numpy"):
+                 backend: str = "numpy",
+                 cell_m: float = 1.0):
         if backend not in ("numpy", "jax"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self._shape = tuple(shape)
+        self._cell_m = float(cell_m)
+        self._residual = np.zeros(2)   # fractional cells (dy, dx)
         self._params = (decay, step, max_odds, occupied_threshold,
                         free_threshold)
         if backend == "jax":
@@ -138,11 +171,33 @@ class TemporalGridFusion:
                                        max_odds=max_odds,
                                        occupied_threshold=occupied_threshold,
                                        free_threshold=free_threshold))
+            self._translate = jax.jit(translate_state)
         else:
             self._odds = np.zeros(shape, np.float32)
             self._observed = np.zeros(shape, bool)
 
-    def update(self, grid):
+    def _motion_to_cells(self, motion_m) -> Tuple[int, int]:
+        # forward motion moves world evidence DOWN the grid (+y);
+        # leftward motion moves it RIGHT (+x); accumulate fractions.
+        fwd, left = motion_m
+        self._residual += np.array([fwd, left]) / self._cell_m
+        whole = np.trunc(self._residual).astype(int)
+        self._residual -= whole
+        return int(whole[0]), int(whole[1])
+
+    def update(self, grid, motion_m=None):
+        if motion_m is not None:
+            dy, dx = self._motion_to_cells(motion_m)
+            if dy or dx:
+                if self.backend == "jax":
+                    self.state = self._translate(self.state, dy, dx)
+                else:
+                    s = translate_state(
+                        FusionState(odds=jnp.asarray(self._odds),
+                                    observed=jnp.asarray(self._observed)),
+                        dy, dx)
+                    self._odds = np.asarray(s.odds)
+                    self._observed = np.asarray(s.observed)
         if self.backend == "jax":
             self.state, fused = self._step(self.state, jnp.asarray(grid))
             return fused
@@ -158,4 +213,5 @@ class TemporalGridFusion:
             self._observed = np.zeros(self._shape, bool)
 
 
-__all__ = ["FusionState", "fuse_step", "TemporalGridFusion"]
+__all__ = ["FusionState", "fuse_step", "translate_state",
+           "TemporalGridFusion"]

@@ -94,3 +94,63 @@ class TestBackends:
     def test_unknown_backend_raises(self):
         with pytest.raises(ValueError, match="backend"):
             TemporalGridFusion((1, 1), backend="torch")
+
+
+class TestEgoMotionCompensation:
+    def test_translate_moves_evidence_and_invalidates_edges(self):
+        from bugcar_image_segmentation_tpu.fusion import translate_state
+        state = FusionState.create((4, 4))
+        state = FusionState(odds=state.odds.at[1, 1].set(3.0),
+                            observed=state.observed.at[1, 1].set(True))
+        moved = translate_state(state, 2, 1)
+        assert float(moved.odds[3, 2]) == 3.0
+        assert bool(moved.observed[3, 2])
+        # rows shifted in from outside are unobserved with zero odds
+        assert not np.asarray(moved.observed[:2]).any()
+        assert float(np.abs(np.asarray(moved.odds[:2])).max()) == 0.0
+
+    def test_update_with_motion_keeps_world_alignment(self):
+        """An obstacle at a fixed WORLD location stays fused while the
+        robot advances one cell per frame.  The grid is vehicle-anchored
+        with the robot at the BOTTOM, so forward motion brings a fixed
+        obstacle DOWN the grid; compensation shifts old evidence down to
+        match."""
+        fusion = TemporalGridFusion((8, 4), decay=0.95, cell_m=0.1)
+        for i in range(4):
+            row = 2 + i   # obstacle one row closer (lower) each frame
+            g = np.zeros((8, 4), np.int8)
+            g[row, 2] = 100
+            out = fusion.update(g, motion_m=(0.1, 0.0))
+        # evidence accumulated at the obstacle's current row: occupied
+        assert out[2 + 3, 2] == 100
+        # without compensation the 4 single observations would each stay
+        # below the occupied threshold (1 < 1.5)
+        plain = TemporalGridFusion((8, 4), decay=0.95, cell_m=0.1)
+        for i in range(4):
+            g = np.zeros((8, 4), np.int8)
+            g[2 + i, 2] = 100
+            out_plain = plain.update(g)
+        assert out_plain[2 + 3, 2] != 100
+
+    def test_fractional_motion_accumulates(self):
+        fusion = TemporalGridFusion((4, 4), cell_m=0.1)
+        state0 = fusion._odds.copy()
+        # 0.04 m per frame: shifts only after cumulative >= one 0.1 m cell
+        fusion._odds[0, 0] = 2.0
+        fusion.update(np.full((4, 4), -1, np.int8), motion_m=(0.04, 0.0))
+        assert fusion._odds[0, 0] != 0.0 or state0[0, 0] == 2.0
+        fusion.update(np.full((4, 4), -1, np.int8), motion_m=(0.04, 0.0))
+        fusion.update(np.full((4, 4), -1, np.int8), motion_m=(0.04, 0.0))
+        # 0.12 m total -> exactly one cell shift happened
+        assert abs(fusion._residual[0] - 0.2) < 1e-9
+
+    def test_jax_backend_motion_matches_numpy(self):
+        fj = TemporalGridFusion((6, 6), backend="jax", cell_m=0.1)
+        fn = TemporalGridFusion((6, 6), backend="numpy", cell_m=0.1)
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            g = rng.choice(np.array([-1, 0, 100], np.int8), size=(6, 6))
+            m = (float(rng.uniform(0, 0.25)), float(rng.uniform(-0.1, 0.1)))
+            a = np.asarray(fj.update(g, motion_m=m))
+            b = np.asarray(fn.update(g, motion_m=m))
+            np.testing.assert_array_equal(a, b)
