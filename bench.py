@@ -23,20 +23,11 @@ def main() -> None:
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     import jax
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # Retry transient tunnel-plugin registration failures.
-    for attempt in range(5):
-        try:
-            jax.devices()
-            break
-        except RuntimeError:
-            if attempt == 4:
-                raise
-            time.sleep(5.0)
+    from bugcar_image_segmentation_tpu.utils.cache import enable_compile_cache
+
+    # Per-backend persistent cache; also retries transient tunnel-plugin
+    # registration failures while initializing the backend.
+    enable_compile_cache()
 
     from bugcar_image_segmentation_tpu.configs import GridConfig, ModelConfig
     from bugcar_image_segmentation_tpu.io import SyntheticSource

@@ -10,6 +10,7 @@ from __future__ import annotations
 import logging
 from typing import List
 
+from .cache import enable_compile_cache
 from .checkpoint import (load_variables, restore_train_state,
                          save_train_state, save_variables)
 from .profiling import FPSMeter, StageTimer, trace

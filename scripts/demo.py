@@ -30,10 +30,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
+    from bugcar_image_segmentation_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from bugcar_image_segmentation_tpu import synthetic
     from bugcar_image_segmentation_tpu.configs import GridConfig
