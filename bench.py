@@ -60,9 +60,10 @@ def main() -> None:
     # Sustained throughput: stream with deep async dispatch and chunked
     # result sync (amortizes the host<->device round-trip latency, which
     # through the tunneled TPU dwarfs the 2.2 ms of per-frame compute).
-    # Best of 7 trials — the tunnel's bandwidth fluctuates by multiples
-    # between runs, and the best trial is the least weather-contaminated
-    # estimate of the pipeline's real rate.
+    # Headline = MEDIAN of 7 trials — the sustained, reproducible number.
+    # (The tunnel's bandwidth fluctuates by multiples between runs; the
+    # best trial is the least weather-contaminated estimate of the
+    # pipeline's real rate and is reported as an auxiliary.)
     n_frames = 100
     host_frames = list(SyntheticSource((480, 640, 3), num_frames=n_frames))
     trials = []
@@ -71,7 +72,8 @@ def main() -> None:
         count = sum(1 for _ in Pipeline.stream(
             pipe, iter(host_frames), depth=16, sync_chunk=16))
         trials.append(count / (time.perf_counter() - t0))
-    fps = max(trials)
+    fps = float(np.median(trials))
+    best_fps = max(trials)
 
     # Device-side rate: 50 pipeline iterations inside ONE lax.scan program
     # (a single dispatch), so not even dispatch RPCs traverse the tunnel —
@@ -98,12 +100,13 @@ def main() -> None:
     jax.block_until_ready(run_scan(engine.variables, dev_frame))
     dev_fps = 50 / (time.perf_counter() - t0)
 
-    print(f"[bench] sustained trials {[round(t, 1) for t in trials]} fps; "
+    print(f"[bench] sustained trials {[round(t, 1) for t in trials]} fps "
+          f"(median {fps:.1f}, best {best_fps:.1f}); "
           f"p50 latency {p50_ms:.2f} ms; device-side {dev_fps:.0f} fps",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "frames/sec/chip, 640x480 camera->occupancy-grid "
-                  "(ENet 512x256 fused pipeline)",
+        "metric": "frames/sec/chip sustained (median of 7), 640x480 "
+                  "camera->occupancy-grid (ENet 512x256 fused pipeline)",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),

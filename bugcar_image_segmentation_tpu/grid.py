@@ -243,7 +243,44 @@ def create_occupancy_grid_binary(segmap,
     return b(segmap)
 
 
+def stack_camera_taps(builders):
+    """Stack per-camera warp taps for a vmapped multi-camera grid build.
+
+    All builders must share grid geometry (and hence tap shapes).  Returns
+    ``(indices, weights, static)`` where indices/weights carry a leading
+    camera axis and ``static`` is the shared non-array tap metadata to
+    rebuild :class:`~.ops.warp.WarpTaps` inside the traced body.
+    """
+    t0 = builders[0]._taps
+    for b in builders[1:]:
+        if (b._taps.src_shape, b._taps.mode) != (t0.src_shape, t0.mode):
+            raise ValueError("cameras disagree on segmap shape or warp "
+                             "interpolation mode")
+    idx = jnp.stack([b._taps.indices for b in builders])
+    wts = jnp.stack([b._taps.weights for b in builders])
+    return idx, wts, (t0.src_shape, t0.mode)
+
+
+def build_grids_vmapped(builder, static, segs, idx, wts):
+    """vmap one builder's grid program over stacked per-camera taps.
+
+    ``segs`` is (N_cam, H, W); ``idx``/``wts``/``static`` come from
+    :func:`stack_camera_taps`.  This is the single grid-build body shared
+    by the local :class:`~.pipeline.MultiCameraPipeline` and the sharded
+    :class:`~.parallel.multicam.ShardedMultiCameraPipeline`.
+    """
+    src_shape, mode = static
+
+    def one(seg, i, w):
+        tap = warp.WarpTaps(indices=i, weights=w,
+                            src_shape=src_shape, mode=mode)
+        return builder.build_with_taps(seg, tap)
+
+    return jax.vmap(one)(segs, idx, wts)
+
+
 __all__ = [
     "OccupancyGridBuilder", "TemplateGeometry", "template_geometry",
     "create_occupancy_grid", "create_occupancy_grid_binary",
+    "stack_camera_taps", "build_grids_vmapped",
 ]

@@ -17,7 +17,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+shard_map = jax.shard_map
 
 from ..configs import CalibrationConfig, GridConfig
 from ..grid import OccupancyGridBuilder
@@ -56,27 +57,18 @@ class ShardedMultiCameraPipeline:
         if len({(b.geom.cells_h, b.geom.cells_w) for b in builders}) != 1:
             raise ValueError("all cameras must share the grid geometry")
         # Stack per-camera warp gather arrays into one leading axis so the
-        # local shard can vmap over its cameras; the static tap fields
-        # (source shape, interpolation mode) are shared.
-        taps0 = builders[0]._taps
-        self._idx = jnp.stack([b._taps.indices for b in builders])
-        self._wts = jnp.stack([b._taps.weights for b in builders])
+        # local shard can vmap over its cameras (shared body with the
+        # single-chip MultiCameraPipeline — grid.build_grids_vmapped).
+        from ..grid import build_grids_vmapped, stack_camera_taps
+        self._idx, self._wts, self._taps_static = stack_camera_taps(builders)
         self._builder0 = builders[0]
-        self._taps_static = (taps0.src_shape, taps0.mode)
 
         def local_body(variables, frames, idx, wts):
             # frames: (cams_per_shard, H, W, 3) on this chip.
             logits = engine._forward(variables, frames)
             segs = remap.logits_to_drivability(logits, engine.remap_table)
-            src_shape, mode = self._taps_static
-
-            def one(seg, i, w):
-                from ..ops.warp import WarpTaps
-                tap = WarpTaps(indices=i, weights=w,
-                               src_shape=src_shape, mode=mode)
-                return self._builder0.build_with_taps(seg, tap)
-
-            grids = jax.vmap(one)(segs, idx, wts)
+            grids = build_grids_vmapped(self._builder0, self._taps_static,
+                                        segs, idx, wts)
             local = stitch_grids(grids)
             return jax.lax.pmax(local, axis)
 

