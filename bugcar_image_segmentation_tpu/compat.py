@@ -198,6 +198,19 @@ def testDevice(max_index: int = 10) -> None:
             _log.warning("Warning: unable to open video source: %s", i)
 
 
+def freeze_session(variables, path, num_classes=15, input_hw=(256, 512)):
+    """Reference utils.py:49-83's train→deploy bridge, for Flax weights.
+
+    Takes trained ENet variables and writes the frozen ``.pb`` the
+    reference stack serves (``input0:0`` NCHW → ``CATkrIDy/concat:0``,
+    variables folded to constants, device placements cleared).  Returns
+    the GraphDef.  See convert/tf_enet.py for the era-correct graph.
+    """
+    from .convert.tf_enet import export_enet_pb
+
+    return export_enet_pb(variables, num_classes, input_hw, path)
+
+
 # Reference occgrid_to_ros.py:13 — same positional signature; returns the
 # ROS-free message (feed to msg.to_rospy_msg under a ROS runtime).
 convert_to_occupancy_grid_msg = to_occupancy_grid_msg
@@ -207,5 +220,5 @@ __all__ = [
     "ENET", "DeepLabV3", "bev_transform_tools",
     "convert_to_occupancy_grid_msg", "contour_noise_removal", "clahe",
     "find_intersection_line", "order_points_counter_clockwise",
-    "testDevice",
+    "testDevice", "freeze_session",
 ]

@@ -5,6 +5,9 @@
   Flax parameter-creation order with per-leaf shape checks.
 - :mod:`~.keras_h5` — Keras ``model.h5`` → Flax via the same pouring
   machinery.
+- :mod:`~.tf_enet` — the reverse bridge: trained Flax ENet variables →
+  frozen era-correct ``.pb`` with the reference's tensor contract
+  (``freeze_session``, reference utils.py:49-83).
 
 All imports of TF/h5py are lazy: conversion is offline tooling, never on
 the inference path.
@@ -14,9 +17,11 @@ from .tf_graphdef import (OpExtract, convert_frozen_graph, extract_ops,
                           load_graphdef, param_creation_order,
                           pour_into_module)
 from .keras_h5 import convert_keras_h5, extract_h5_ops
+from .tf_enet import build_enet_tf, export_enet_pb, freeze_function
 
 __all__ = [
     "OpExtract", "convert_frozen_graph", "extract_ops", "load_graphdef",
     "param_creation_order", "pour_into_module",
     "convert_keras_h5", "extract_h5_ops",
+    "build_enet_tf", "export_enet_pb", "freeze_function",
 ]

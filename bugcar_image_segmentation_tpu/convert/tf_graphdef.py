@@ -69,27 +69,189 @@ class OpExtract(collections.namedtuple("OpExtract",
     """
 
 
+_CONV_FAMILY = ("Conv2D", "DepthwiseConv2dNative", "Conv2DBackpropInput",
+                "MatMul")
+
+
+def _is_float(arr) -> bool:
+    return arr is not None and np.asarray(arr).dtype.kind == "f"
+
+
 def extract_ops(graph_def) -> List[OpExtract]:
     """Parameter-carrying ops in graph (execution) order.
 
     Frozen graphs list nodes in a valid execution order; each compute op is
     paired with the Const feeding its weight input, resolving through
-    Identity/ReadVariableOp/Cast indirections.
+    Identity/ReadVariableOp/Cast/Neg indirections.
+
+    Era-correct TF1 export patterns handled (the actual ``enet.pb`` /
+    ``deeplab.pb`` blobs are stripped — ``.MISSING_LARGE_BLOBS`` — so the
+    matching is written against the graphs those exports would contain):
+
+    - **Decomposed PReLU** — stock TF1 has no ``Prelu`` op; ENet-era graphs
+      express it as ``relu(x) + alpha*(x-|x|)*0.5`` (slim convention) or
+      ``relu(x) - alpha*relu(-x)`` / Keras's ``relu(x) + (-alpha)*relu(-x)``.
+      :func:`_match_decomposed_prelu` recovers the effective per-channel
+      alpha from any algebraic variant of these.
+    - **MaxPoolWithArgmax + ScatterNd unpooling** (ENet decoder,
+      SURVEY.md §7 "the nastiest op") carries no parameters, but its index
+      arithmetic is integer Mul/Add/Sub soup — all weight extraction is
+      float-gated so none of it is misread as biases or alphas.
+    - **DeepLab-style preambles** (embedded resize / mean-subtract /
+      final ArgMax, reference models.py:100-101): size and axis constants
+      are integers (skipped); mean/scale arithmetic rides Sub/RealDiv/
+      scalar-Mul nodes, none of which match a weight pattern.
+    - Generic ``Add``-as-bias only counts when it actually terminates a
+      conv/matmul (its non-const input must resolve to a conv-family op
+      through trivial indirections) — preprocessing adds never do.
     """
     consts = extract_constants(graph_def)
     by_name = {n.name: n for n in graph_def.node}
 
+    def producer(name: str):
+        return by_name.get(name.split(":")[0].lstrip("^"))
+
     def resolve_const(name: str) -> Optional[np.ndarray]:
         name = name.split(":")[0].lstrip("^")
         seen = set()
+        negate = False
         while name in by_name and name not in seen:
             seen.add(name)
             node = by_name[name]
             if node.op == "Const":
-                return consts[node.name]
+                val = consts[node.name]
+                return -val if negate else val
             if node.op in ("Identity", "ReadVariableOp", "Enter", "Cast"):
                 name = node.input[0].split(":")[0]
                 continue
+            if node.op == "Neg":
+                negate = not negate
+                name = node.input[0].split(":")[0]
+                continue
+            return None
+        return None
+
+    # consumers: node name -> [node] (data edges only)
+    consumers: Dict[str, List] = collections.defaultdict(list)
+    for node in graph_def.node:
+        for inp in node.input:
+            if not inp.startswith("^"):
+                consumers[inp.split(":")[0]].append(node)
+
+    def _trivial_source(name: str):
+        """Producer node, looking through no-op indirections."""
+        node = producer(name)
+        seen = set()
+        while node is not None and node.name not in seen and \
+                node.op in ("Identity", "Cast", "Reshape", "Squeeze",
+                            "ExpandDims"):
+            seen.add(node.name)
+            node = producer(node.input[0])
+        return node
+
+    def _match_decomposed_prelu(mul_node) -> Optional[np.ndarray]:
+        """If ``mul_node`` is the alpha-Mul of a decomposed PReLU, return
+        the effective per-channel alpha, else None.
+
+        The negative branch of every known decomposition is
+        ``alpha ⊙ k · min(x, 0)`` for some scalar chain ``k``:
+        ``x-|x|`` contributes k=2 (``|x|-x`` k=-2), ``relu(-x)`` k=-1,
+        ``minimum(x,0)`` k=1; scalar const Muls (the slim 0.5) fold into
+        k; an ``Add`` combiner keeps the sign, a ``Sub`` combiner (with
+        the branch as subtrahend) flips it.  The combiner's other input
+        must be a ``Relu`` — that is what separates a PReLU alpha-Mul
+        from e.g. a const-folded batchnorm Mul.
+        """
+        c = None
+        branch = None
+        for inp in mul_node.input:
+            val = resolve_const(inp)
+            if val is not None and _is_float(val) and np.size(val) > 1:
+                c = val
+            elif resolve_const(inp) is None:
+                branch = inp
+        if c is None or branch is None:
+            return None
+
+        # Walk UP through scalar muls to the shape-defining node.
+        k = 1.0
+        node = _trivial_source(branch)
+        seen = set()
+        while node is not None and node.name not in seen:
+            seen.add(node.name)
+            if node.op == "Mul":
+                scal = [resolve_const(i) for i in node.input]
+                scal_const = next((s for s in scal
+                                   if s is not None and np.size(s) == 1
+                                   and _is_float(s)), None)
+                if scal_const is None:
+                    return None
+                k *= float(np.ravel(scal_const)[0])
+                other = next(i for i in node.input
+                             if resolve_const(i) is None)
+                node = _trivial_source(other)
+                continue
+            break
+        if node is None:
+            return None
+
+        if node.op == "Sub":
+            a, b = node.input[0], node.input[1]
+            pa, pb = _trivial_source(a), _trivial_source(b)
+            if pb is not None and pb.op == "Abs":
+                k *= 2.0          # x - |x| = 2 min(x, 0)
+            elif pa is not None and pa.op == "Abs":
+                k *= -2.0         # |x| - x = -2 min(x, 0)
+            else:
+                return None
+        elif node.op == "Relu":
+            inner = _trivial_source(node.input[0])
+            if inner is None or inner.op != "Neg":
+                return None
+            k *= -1.0             # relu(-x) = -min(x, 0)
+        elif node.op == "Minimum":
+            vals = [resolve_const(i) for i in node.input]
+            if not any(v is not None and np.size(v) == 1
+                       and float(np.ravel(v)[0]) == 0.0 for v in vals):
+                return None
+            # min(x, 0): k *= 1
+        else:
+            return None
+
+        # Walk DOWN from the alpha-Mul through scalar muls to the combiner.
+        cur = mul_node
+        seen = set()
+        while cur.name not in seen:
+            seen.add(cur.name)
+            outs = consumers.get(cur.name, [])
+            if len(outs) != 1:
+                return None
+            nxt = outs[0]
+            if nxt.op == "Mul":
+                scal = [resolve_const(i) for i in nxt.input]
+                scal_const = next((s for s in scal
+                                   if s is not None and np.size(s) == 1
+                                   and _is_float(s)), None)
+                if scal_const is None:
+                    return None
+                k *= float(np.ravel(scal_const)[0])
+                cur = nxt
+                continue
+            if nxt.op in ("Add", "AddV2", "Sub"):
+                if nxt.op == "Sub":
+                    # branch must be the subtrahend: relu(x) - branch
+                    if nxt.input[1].split(":")[0] != cur.name:
+                        return None
+                    k *= -1.0
+                # The positive branch must be a Relu — the PReLU signature.
+                other = (nxt.input[0] if
+                         nxt.input[1].split(":")[0] == cur.name
+                         else nxt.input[1])
+                pos = _trivial_source(other)
+                if pos is None or pos.op != "Relu":
+                    return None
+                return (np.asarray(c, dtype=np.float32).reshape(-1)
+                        * np.float32(k))
             return None
         return None
 
@@ -97,24 +259,30 @@ def extract_ops(graph_def) -> List[OpExtract]:
     for node in graph_def.node:
         if node.op == "Conv2D":
             w = resolve_const(node.input[1])
-            if w is not None:
+            if _is_float(w):
                 ops.append(OpExtract("conv", node.name, {"kernel": w}))
         elif node.op == "DepthwiseConv2dNative":
             w = resolve_const(node.input[1])
-            if w is not None:
+            if _is_float(w):
                 ops.append(OpExtract("depthwise", node.name, {"kernel": w}))
         elif node.op == "Conv2DBackpropInput":  # transposed conv
             w = resolve_const(node.input[1])
-            if w is not None:
+            if _is_float(w):
                 ops.append(OpExtract("conv_transpose", node.name,
                                      {"kernel": w}))
         elif node.op == "MatMul":
             w = resolve_const(node.input[1])
-            if w is not None:
+            if _is_float(w):
                 ops.append(OpExtract("dense", node.name, {"kernel": w}))
-        elif node.op in ("BiasAdd", "AddV2", "Add"):
+        elif node.op == "BiasAdd":
             b = resolve_const(node.input[1])
-            if b is not None and b.ndim <= 1:
+            if _is_float(b) and b.ndim <= 1:
+                ops.append(OpExtract("bias", node.name, {"bias": b}))
+        elif node.op in ("AddV2", "Add"):
+            b = resolve_const(node.input[1])
+            src = _trivial_source(node.input[0])
+            if (_is_float(b) and b.ndim <= 1 and src is not None
+                    and src.op in _CONV_FAMILY):
                 ops.append(OpExtract("bias", node.name, {"bias": b}))
         elif node.op in ("FusedBatchNorm", "FusedBatchNormV2",
                          "FusedBatchNormV3"):
@@ -132,7 +300,12 @@ def extract_ops(graph_def) -> List[OpExtract]:
                     else 1e-3)
                 ops.append(OpExtract("batchnorm", node.name, arrays))
         elif node.op == "Prelu":
+            # Not a stock TF1 op, but some exporters emit it fused.
             a = resolve_const(node.input[1])
+            if _is_float(a):
+                ops.append(OpExtract("prelu", node.name, {"alpha": a}))
+        elif node.op == "Mul":
+            a = _match_decomposed_prelu(node)
             if a is not None:
                 ops.append(OpExtract("prelu", node.name, {"alpha": a}))
     return ops
