@@ -57,20 +57,25 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1e3)
 
-    # Sustained throughput: stream with deep async dispatch and chunked
-    # result sync (amortizes the host<->device round-trip latency, which
-    # through the tunneled TPU dwarfs the 2.2 ms of per-frame compute).
-    # Headline = MEDIAN of 7 trials — the sustained, reproducible number.
-    # (The tunnel's bandwidth fluctuates by multiples between runs; the
-    # best trial is the least weather-contaminated estimate of the
-    # pipeline's real rate and is reported as an auxiliary.)
+    # Sustained throughput: stream with deep async dispatch, chunked
+    # result sync, and 4-frame transfer batching (BASELINE config 3's
+    # batched streaming) — each knob amortizes the per-RPC cost of the
+    # tunneled link, which dwarfs the 2.2 ms of per-frame compute.
+    # Headline = MEDIAN of 7 timed trials after one untimed warm pass —
+    # the sustained, reproducible number.  (The tunnel's bandwidth
+    # fluctuates by multiples between runs; the best trial is the least
+    # weather-contaminated estimate and is reported as an auxiliary.)
     n_frames = 100
+    tb = 4
     host_frames = list(SyntheticSource((480, 640, 3), num_frames=n_frames))
+    list(Pipeline.stream(pipe, iter(host_frames[:4 * tb]), depth=16,
+                         transfer_batch=tb))  # compile + link ramp
     trials = []
     for _ in range(7):
         t0 = time.perf_counter()
         count = sum(1 for _ in Pipeline.stream(
-            pipe, iter(host_frames), depth=16, sync_chunk=16))
+            pipe, iter(host_frames), depth=16, sync_chunk=16,
+            transfer_batch=tb))
         trials.append(count / (time.perf_counter() - t0))
     fps = float(np.median(trials))
     best_fps = max(trials)
@@ -106,7 +111,8 @@ def main() -> None:
           file=sys.stderr)
     print(json.dumps({
         "metric": "frames/sec/chip sustained (median of 7), 640x480 "
-                  "camera->occupancy-grid (ENet 512x256 fused pipeline)",
+                  "camera->occupancy-grid (ENet 512x256 fused pipeline, "
+                  "batched streaming)",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
