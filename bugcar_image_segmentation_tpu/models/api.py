@@ -162,6 +162,14 @@ def build_engine(name: str = "enet",
         cfg = cfg or ModelConfig(name="unet", input_width=512,
                                  input_height=256, num_classes=15)
         module = UNet(num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype))
+    elif name in ("deeplab_xception", "xception"):
+        # Architecture-faithful twin of the actual deeplab.pb export
+        # (Xception-65 backbone) — the variant the real blob pours into.
+        from .xception import Xception65DeepLab
+        cfg = cfg or ModelConfig(name="deeplab_xception", input_width=1024,
+                                 input_height=512, num_classes=15)
+        module = Xception65DeepLab(num_classes=cfg.num_classes,
+                                   dtype=jnp.dtype(cfg.dtype))
     elif name == "segformer":
         from .segformer import SegFormer
         cfg = cfg or ModelConfig(name="segformer", input_width=1024,

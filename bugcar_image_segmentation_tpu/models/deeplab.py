@@ -32,6 +32,7 @@ class ConvBN(nn.Module):
     dilation: Tuple[int, int] = (1, 1)
     groups: int = 1
     act: bool = True
+    relu6: bool = True  # MobileNetV2 uses ReLU6; Xception plain ReLU.
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -44,7 +45,9 @@ class ConvBN(nn.Module):
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32)(x)
         if self.act:
-            x = jnp.minimum(jnp.maximum(x, 0), 6)  # ReLU6
+            x = jnp.maximum(x, 0)
+            if self.relu6:
+                x = jnp.minimum(x, 6)
         return x
 
 
@@ -80,26 +83,27 @@ class ASPP(nn.Module):
 
     features: int = 256
     rates: Sequence[int] = (6, 12, 18)
+    relu6: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        branches = [ConvBN(self.features, (1, 1), dtype=self.dtype,
-                           name="b0")(x, train)]
+        branches = [ConvBN(self.features, (1, 1), relu6=self.relu6,
+                           dtype=self.dtype, name="b0")(x, train)]
         for i, r in enumerate(self.rates):
             branches.append(ConvBN(self.features, (3, 3), dilation=(r, r),
-                                   dtype=self.dtype,
+                                   relu6=self.relu6, dtype=self.dtype,
                                    name=f"b{i + 1}")(x, train))
         # Image-level pooling branch: global average, project, broadcast.
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        pooled = ConvBN(self.features, (1, 1), dtype=self.dtype,
-                        name="image_pool")(pooled, train)
+        pooled = ConvBN(self.features, (1, 1), relu6=self.relu6,
+                        dtype=self.dtype, name="image_pool")(pooled, train)
         pooled = jnp.broadcast_to(
             pooled, (x.shape[0], x.shape[1], x.shape[2], self.features))
         branches.append(pooled)
         y = jnp.concatenate(branches, axis=-1)
-        return ConvBN(self.features, (1, 1), dtype=self.dtype,
-                      name="merge")(y, train)
+        return ConvBN(self.features, (1, 1), relu6=self.relu6,
+                      dtype=self.dtype, name="merge")(y, train)
 
 
 def _upsample(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:

@@ -164,7 +164,8 @@ class TestEngine:
                                       .astype(np.uint8))
 
     @pytest.mark.parametrize("name,w,h", [
-        ("deeplab", 64, 32), ("unet", 64, 32), ("segformer", 64, 64)])
+        ("deeplab", 64, 32), ("deeplab_xception", 64, 32),
+        ("unet", 64, 32), ("segformer", 64, 64)])
     def test_other_backbones_forward(self, rng, name, w, h):
         cfg = ModelConfig(name=name, input_width=w, input_height=h,
                           num_classes=15, dtype="float32")
