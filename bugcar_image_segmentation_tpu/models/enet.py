@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import pooling
+from .fastconv import FastConvTranspose2x, FastStemConv2x
 
 
 # ---------------------------------------------------------------------------
@@ -110,15 +111,24 @@ class ConvBNAct(nn.Module):
 
 
 class InitialBlock(nn.Module):
-    """ENet stem: 3x3/2 conv (13 ch) concatenated with 2x2 max pool."""
+    """ENet stem: 3x3/2 conv (13 ch) concatenated with 2x2 max pool.
+
+    ``fast`` computes the strided conv as space-to-depth + a dense 2x2
+    conv (same params/math, see fastconv.py) — the stride-2 RGB conv was
+    a measured stem hotspot (PERF.md).
+    """
 
     dtype: Any = jnp.bfloat16
+    fast: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        conv = nn.Conv(13, (3, 3), strides=(2, 2), padding="SAME",
-                       use_bias=False, dtype=self.dtype,
-                       param_dtype=jnp.float32)(x)
+        if self.fast:
+            conv = FastStemConv2x(13, dtype=self.dtype, name="Conv_0")(x)
+        else:
+            conv = nn.Conv(13, (3, 3), strides=(2, 2), padding="SAME",
+                           use_bias=False, dtype=self.dtype,
+                           param_dtype=jnp.float32)(x)
         pool = pooling.max_pool_2x2(x)
         out = jnp.concatenate([conv, pool], axis=-1)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -143,6 +153,7 @@ class Bottleneck(nn.Module):
     projection_ratio: int = 4
     dropout_rate: float = 0.1
     dtype: Any = jnp.bfloat16
+    fast: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -165,9 +176,15 @@ class Bottleneck(nn.Module):
             y = ConvBNAct(mid, (1, 5), dtype=self.dtype, name="conv_1x5")(
                 y, train)
         elif self.kind == "up":
-            y = nn.ConvTranspose(mid, (3, 3), strides=(2, 2), padding="SAME",
-                                 use_bias=False, dtype=self.dtype,
-                                 param_dtype=jnp.float32, name="deconv")(y)
+            if self.fast:
+                y = FastConvTranspose2x(mid, kernel=3, use_bias=False,
+                                        dtype=self.dtype, name="deconv")(y)
+            else:
+                y = nn.ConvTranspose(mid, (3, 3), strides=(2, 2),
+                                     padding="SAME", use_bias=False,
+                                     dtype=self.dtype,
+                                     param_dtype=jnp.float32,
+                                     name="deconv")(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-3, dtype=self.dtype,
                              param_dtype=jnp.float32, name="deconv_bn")(y)
@@ -218,6 +235,10 @@ class ENet(nn.Module):
 
     num_classes: int = 15
     dtype: Any = jnp.bfloat16
+    # Compute stride-2 (de)convs as dense phase-packed convs (fastconv.py);
+    # identical params & math, measurably faster on the MXU.  fast=False
+    # keeps the textbook lowering for A/B parity tests.
+    fast: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -227,7 +248,7 @@ class ENet(nn.Module):
                 f"(3 levels of 2x down/up-sampling); got {x.shape}")
         dt = self.dtype
         x = x.astype(dt)
-        x = InitialBlock(dtype=dt, name="initial")(x, train)
+        x = InitialBlock(dtype=dt, fast=self.fast, name="initial")(x, train)
 
         # Stage 1 (encoder, 1/4 resolution, 64ch)
         x, idx1 = Bottleneck(64, "down", dropout_rate=0.01, dtype=dt,
@@ -257,20 +278,26 @@ class ENet(nn.Module):
                               name=f"b{stage}_8")(x, train)
 
         # Stage 4 (decoder, back to 1/4, 64ch)
-        x, _ = Bottleneck(64, "up", dtype=dt, name="b4_0")(
+        x, _ = Bottleneck(64, "up", dtype=dt, fast=self.fast, name="b4_0")(
             x, train, pool_idx=idx2)
         x, _ = Bottleneck(64, "regular", dtype=dt, name="b4_1")(x, train)
         x, _ = Bottleneck(64, "regular", dtype=dt, name="b4_2")(x, train)
 
         # Stage 5 (decoder, back to 1/2, 16ch)
-        x, _ = Bottleneck(16, "up", dtype=dt, name="b5_0")(
+        x, _ = Bottleneck(16, "up", dtype=dt, fast=self.fast, name="b5_0")(
             x, train, pool_idx=idx1)
         x, _ = Bottleneck(16, "regular", dtype=dt, name="b5_1")(x, train)
 
         # Full-resolution classifier head.
-        x = nn.ConvTranspose(self.num_classes, (3, 3), strides=(2, 2),
-                             padding="SAME", use_bias=True, dtype=dt,
-                             param_dtype=jnp.float32, name="fullconv")(x)
+        if self.fast:
+            x = FastConvTranspose2x(self.num_classes, kernel=3,
+                                    use_bias=True, dtype=dt,
+                                    name="fullconv")(x)
+        else:
+            x = nn.ConvTranspose(self.num_classes, (3, 3), strides=(2, 2),
+                                 padding="SAME", use_bias=True, dtype=dt,
+                                 param_dtype=jnp.float32,
+                                 name="fullconv")(x)
         return x.astype(jnp.float32)
 
 

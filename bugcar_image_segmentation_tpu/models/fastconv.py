@@ -1,0 +1,155 @@
+"""Stride-2 (de)convolutions as dense stride-1 convs + space/depth moves.
+
+TPU rationale: XLA lowers a stride-2 transposed conv via input dilation
+(zeros between every pixel) and a stride-2 forward conv by marching the
+MXU over a strided window — both waste the systolic array on zeros /
+small contraction dims.  The same math reshapes into a *dense* stride-1
+conv over phase-packed channels:
+
+- ``ConvTranspose(C, (3,3), strides=2, SAME)``  ==  2x2 conv producing
+  4C phase channels, then depth-to-space.  Derivation (verified against
+  ``lax.conv_transpose``): ``y[2p+r] = sum_a x[p-1+a] * W[2a-r]``.
+- ``ConvTranspose(C, (2,2), strides=2, SAME)``  ==  1x1 conv to 4C
+  channels + depth-to-space: ``y[2p+r] = W[1-r] @ x[p]`` (no overlap).
+- ``Conv(C, (3,3), strides=2, SAME)``  ==  space-to-depth (2x2 phase
+  pack, 4x channels) then a 2x2 stride-1 conv:
+  ``y[p] = sum_i x[2p+i-1] W[i]`` with ``i = 2a+r-1``.
+
+The modules below compute exactly that while exposing the **identical
+parameter tree** as their stock Flax counterparts (param names ``kernel``
+/ ``bias``, shapes ``(kh, kw, Cin, Cout)``) — converted reference weights
+(convert/tf_graphdef.py), checkpoints, and the training path all work
+unchanged; the kernel re-indexing is a few-microsecond reshape of the
+small weight tensor inside the jitted program.
+
+Replaces the work the reference delegates to cuDNN's transposed-conv
+kernels (reference models.py:14-95's frozen ENet decoder; SURVEY.md §7
+"unpooling ... nastiest op").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax.linen import initializers
+from jax import lax
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) → (N, H/2, W/2, 4C); channel layout (row-phase,
+    col-phase, C) with row-phase major."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`space_to_depth`."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
+class FastConvTranspose2x(nn.Module):
+    """Drop-in for ``nn.ConvTranspose(features, (k, k), strides=(2, 2),
+    padding='SAME')`` with ``k`` in {2, 3}; same param tree, computed as a
+    stride-1 conv over phase channels + depth-to-space."""
+
+    features: int
+    kernel: int = 3
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.kernel not in (2, 3):
+            raise ValueError(f"kernel must be 2 or 3, got {self.kernel}")
+        cin = x.shape[-1]
+        k = self.kernel
+        kernel = self.param("kernel", initializers.lecun_normal(),
+                            (k, k, cin, self.features), jnp.float32)
+
+        if k == 3:
+            # W2[a, b, ci, (r,s), co] = W[2a-r, 2b-s] (0 when out of range)
+            wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            rows = []
+            for a in (0, 1):
+                cols = []
+                for b in (0, 1):
+                    blocks = [wp[2 * a - r + 1, 2 * b - s + 1]
+                              for r in (0, 1) for s in (0, 1)]
+                    cols.append(jnp.stack(blocks, axis=0))  # (4, ci, co)
+                rows.append(jnp.stack(cols, axis=0))        # (2, 4, ci, co)
+            w2 = jnp.stack(rows, axis=0)                    # (2, 2, 4, ci, co)
+            w2 = w2.transpose(0, 1, 3, 2, 4).reshape(
+                2, 2, cin, 4 * self.features)
+            pad = ((1, 0), (1, 0))
+        else:
+            # Non-overlapping: y[2p+r, 2q+s] = W[1-r, 1-s] @ x[p, q]
+            blocks = [kernel[1 - r, 1 - s] for r in (0, 1) for s in (0, 1)]
+            w2 = jnp.stack(blocks, axis=0)                  # (4, ci, co)
+            w2 = w2.transpose(1, 0, 2).reshape(1, 1, cin, 4 * self.features)
+            pad = ((0, 0), (0, 0))
+
+        z = lax.conv_general_dilated(
+            x.astype(self.dtype), w2.astype(self.dtype), (1, 1), pad,
+            dimension_numbers=_DN)
+        y = depth_to_space(z)
+        if self.use_bias:
+            bias = self.param("bias", initializers.zeros_init(),
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class FastStemConv2x(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3, 3), strides=(2, 2),
+    padding='SAME', use_bias=False)``; same param tree, computed as
+    space-to-depth + a dense 2x2 stride-1 conv (contraction 4*Cin instead
+    of a strided 3x3 over Cin — matters when Cin is tiny, e.g. the RGB
+    stem, reference models.py:19's 512x256x3 input)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            raise ValueError(
+                f"FastStemConv2x needs even H, W (SAME pad_lo is 0 only "
+                f"then); got {x.shape}")
+        cin = x.shape[-1]
+        kernel = self.param("kernel", initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        # Even input ⇒ SAME pad is (0, 1): y[p] = sum_i x[2p+i] W[i], so
+        # W2[a, b, (r,s,ci), co] = W[2a+r, 2b+s] (0 when out of range).
+        wp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        rows = []
+        for a in (0, 1):
+            cols = []
+            for b in (0, 1):
+                blocks = [wp[2 * a + r, 2 * b + s]
+                          for r in (0, 1) for s in (0, 1)]
+                cols.append(jnp.stack(blocks, axis=0))      # (4, ci, co)
+            rows.append(jnp.stack(cols, axis=0))            # (2, 4, ci, co)
+        w2 = jnp.stack(rows, axis=0)                        # (2, 2, 4, ci, co)
+        w2 = w2.reshape(2, 2, 4 * cin, self.features)
+        y = lax.conv_general_dilated(
+            space_to_depth(x).astype(self.dtype), w2.astype(self.dtype),
+            (1, 1), ((0, 1), (0, 1)), dimension_numbers=_DN)
+        if self.use_bias:
+            bias = self.param("bias", initializers.zeros_init(),
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+__all__ = ["FastConvTranspose2x", "FastStemConv2x",
+           "space_to_depth", "depth_to_space"]

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import pooling
+from .fastconv import FastConvTranspose2x
 
 
 class DoubleConv(nn.Module):
@@ -49,6 +50,9 @@ class UNet(nn.Module):
     widths: Sequence[int] = (32, 64, 128, 256)
     bottleneck_width: int = 512
     dtype: Any = jnp.bfloat16
+    # 2x2/2 transposed convs as 1x1 conv + depth-to-space (fastconv.py);
+    # same params & math, denser MXU work.
+    fast: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -71,9 +75,13 @@ class UNet(nn.Module):
 
         for i, (w, skip) in enumerate(zip(reversed(self.widths),
                                           reversed(skips))):
-            x = nn.ConvTranspose(w, (2, 2), strides=(2, 2), dtype=dt,
-                                 param_dtype=jnp.float32,
-                                 name=f"up{i}")(x)
+            if self.fast:
+                x = FastConvTranspose2x(w, kernel=2, use_bias=True,
+                                        dtype=dt, name=f"up{i}")(x)
+            else:
+                x = nn.ConvTranspose(w, (2, 2), strides=(2, 2), dtype=dt,
+                                     param_dtype=jnp.float32,
+                                     name=f"up{i}")(x)
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = DoubleConv(w, dtype=dt, name=f"dec{i}")(x, train)
 

@@ -1,0 +1,129 @@
+"""Parity of the phase-packed stride-2 convs (models/fastconv.py).
+
+The fast modules must be numerically interchangeable with the stock Flax
+layers **on the same parameter tree** — that is what lets the GraphDef
+converter (convert/tf_graphdef.py), checkpoints, and the reverse deploy
+bridge keep working while the compute path changes underneath.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bugcar_image_segmentation_tpu.models.fastconv import (
+    FastConvTranspose2x, FastStemConv2x, depth_to_space, space_to_depth)
+
+
+RNG = jax.random.PRNGKey(7)
+
+
+def test_space_depth_roundtrip():
+    x = jax.random.normal(RNG, (2, 8, 12, 5))
+    np.testing.assert_array_equal(depth_to_space(space_to_depth(x)), x)
+    # layout: channel blocks are (row-phase, col-phase, c), row-major
+    s = space_to_depth(x)
+    np.testing.assert_array_equal(s[0, 1, 2, 5:10], x[0, 2, 5, :])  # r0 s1
+    np.testing.assert_array_equal(s[0, 1, 2, 10:15], x[0, 3, 4, :])  # r1 s0
+
+
+@pytest.mark.parametrize("kernel,use_bias", [(3, False), (3, True),
+                                             (2, False), (2, True)])
+def test_conv_transpose_parity(kernel, use_bias):
+    x = jax.random.normal(RNG, (2, 16, 24, 7), jnp.float32)
+    ref = nn.ConvTranspose(5, (kernel, kernel), strides=(2, 2),
+                           padding="SAME", use_bias=use_bias,
+                           dtype=jnp.float32, param_dtype=jnp.float32)
+    fast = FastConvTranspose2x(5, kernel=kernel, use_bias=use_bias,
+                               dtype=jnp.float32)
+    v = ref.init(RNG, x)
+    vf = fast.init(RNG, x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(vf))
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(vf)):
+        assert a.shape == b.shape
+    y_ref = ref.apply(v, x)
+    y_fast = fast.apply(v, x)  # ref's params through the fast path
+    assert y_ref.shape == y_fast.shape
+    np.testing.assert_allclose(y_fast, y_ref, atol=1e-5)
+
+
+def test_conv_transpose_odd_input_ok():
+    # Transposed-conv SAME padding is input-parity independent (output is
+    # exactly 2x the input); odd inputs must still match.
+    x = jax.random.normal(RNG, (1, 15, 9, 3), jnp.float32)
+    ref = nn.ConvTranspose(4, (3, 3), strides=(2, 2), padding="SAME",
+                           use_bias=False, dtype=jnp.float32,
+                           param_dtype=jnp.float32)
+    fast = FastConvTranspose2x(4, kernel=3, use_bias=False,
+                               dtype=jnp.float32)
+    v = ref.init(RNG, x)
+    np.testing.assert_allclose(fast.apply(v, x), ref.apply(v, x), atol=1e-5)
+
+
+def test_stem_parity():
+    x = jax.random.normal(RNG, (2, 16, 24, 3), jnp.float32)
+    ref = nn.Conv(13, (3, 3), strides=(2, 2), padding="SAME",
+                  use_bias=False, dtype=jnp.float32,
+                  param_dtype=jnp.float32)
+    fast = FastStemConv2x(13, dtype=jnp.float32)
+    v = ref.init(RNG, x)
+    vf = fast.init(RNG, x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(vf))
+    np.testing.assert_allclose(fast.apply(v, x), ref.apply(v, x), atol=1e-5)
+
+
+def test_stem_rejects_odd_input():
+    x = jnp.zeros((1, 15, 16, 3), jnp.float32)
+    fast = FastStemConv2x(13, dtype=jnp.float32)
+    v = fast.init(RNG, jnp.zeros((1, 16, 16, 3), jnp.float32))
+    with pytest.raises(ValueError, match="even"):
+        fast.apply(v, x)
+
+
+def test_enet_fast_slow_parity():
+    from bugcar_image_segmentation_tpu.models.enet import ENet
+
+    x = jax.random.normal(RNG, (1, 32, 64, 3), jnp.float32)
+    slow = ENet(num_classes=15, dtype=jnp.float32, fast=False)
+    fast = ENet(num_classes=15, dtype=jnp.float32, fast=True)
+    v = slow.init(RNG, x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(fast.init(RNG, x, train=False)))
+    y_slow = slow.apply(v, x, train=False)
+    y_fast = fast.apply(v, x, train=False)
+    np.testing.assert_allclose(y_fast, y_slow, atol=2e-4, rtol=1e-4)
+
+
+def test_unet_fast_slow_parity():
+    from bugcar_image_segmentation_tpu.models.unet import UNet
+
+    x = jax.random.normal(RNG, (1, 32, 32, 3), jnp.float32)
+    slow = UNet(num_classes=15, widths=(8, 16), bottleneck_width=32,
+                dtype=jnp.float32, fast=False)
+    fast = UNet(num_classes=15, widths=(8, 16), bottleneck_width=32,
+                dtype=jnp.float32, fast=True)
+    v = slow.init(RNG, x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(fast.init(RNG, x, train=False)))
+    np.testing.assert_allclose(fast.apply(v, x, train=False),
+                               slow.apply(v, x, train=False),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_fast_path_differentiable():
+    # The fast lowering trains: grads flow through the kernel re-indexing.
+    x = jax.random.normal(RNG, (1, 8, 8, 4), jnp.float32)
+    mod = FastConvTranspose2x(3, kernel=3, use_bias=True, dtype=jnp.float32)
+    v = mod.init(RNG, x)
+
+    def loss(params):
+        return jnp.sum(mod.apply(params, x) ** 2)
+
+    g = jax.grad(loss)(v)
+    assert all(np.all(np.isfinite(leaf))
+               for leaf in jax.tree_util.tree_leaves(g))
+    assert float(jnp.max(jnp.abs(g["params"]["kernel"]))) > 0
