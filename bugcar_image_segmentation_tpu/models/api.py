@@ -170,12 +170,17 @@ def build_engine(name: str = "enet",
                                  input_height=512, num_classes=15)
         module = Xception65DeepLab(num_classes=cfg.num_classes,
                                    dtype=jnp.dtype(cfg.dtype))
-    elif name == "segformer":
-        from .segformer import SegFormer
-        cfg = cfg or ModelConfig(name="segformer", input_width=1024,
+    elif name == "segformer" or name.startswith("segformer_b"):
+        from .segformer import SEGFORMER_PRESETS, SegFormer
+        size = name.split("_", 1)[1] if "_" in name else "b0"
+        if size not in SEGFORMER_PRESETS:
+            raise ValueError(
+                f"unknown SegFormer size {size!r}; "
+                f"have {sorted(SEGFORMER_PRESETS)}")
+        cfg = cfg or ModelConfig(name=name, input_width=1024,
                                  input_height=1024, num_classes=15)
-        module = SegFormer(num_classes=cfg.num_classes,
-                           dtype=jnp.dtype(cfg.dtype))
+        module = SegFormer.preset(size, num_classes=cfg.num_classes,
+                                  dtype=jnp.dtype(cfg.dtype))
     else:
         raise ValueError(f"unknown model {name!r}")
     return Engine(module, cfg, variables=variables)

@@ -129,8 +129,26 @@ class Block(nn.Module):
         return x
 
 
+# MiT backbone size presets (Xie et al., 2021, table 1).  All share the
+# head counts (1, 2, 5, 8) and spatial-reduction ratios (8, 4, 2, 1).
+SEGFORMER_PRESETS = {
+    "b0": dict(widths=(32, 64, 160, 256), depths=(2, 2, 2, 2),
+               decoder_dim=256),
+    "b1": dict(widths=(64, 128, 320, 512), depths=(2, 2, 2, 2),
+               decoder_dim=256),
+    "b2": dict(widths=(64, 128, 320, 512), depths=(3, 4, 6, 3),
+               decoder_dim=768),
+    "b3": dict(widths=(64, 128, 320, 512), depths=(3, 4, 18, 3),
+               decoder_dim=768),
+}
+
+
 class SegFormer(nn.Module):
-    """MiT-B0/B1-scale hierarchical transformer + all-MLP decode head.
+    """MiT-scale hierarchical transformer + all-MLP decode head.
+
+    Defaults are the B0 configuration; ``SegFormer.preset("b2")`` (or the
+    ``segformer_b2`` engine name) selects a larger MiT backbone from
+    :data:`SEGFORMER_PRESETS`.
 
     Input (N, H, W, 3) float NHWC (H, W divisible by 32); output
     (N, H, W, num_classes) float32 logits.
@@ -143,6 +161,13 @@ class SegFormer(nn.Module):
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
     decoder_dim: int = 256
     dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def preset(cls, size: str, **overrides) -> "SegFormer":
+        """Build a B0/B1/B2/B3 variant by name."""
+        kw = dict(SEGFORMER_PRESETS[size.lower()])
+        kw.update(overrides)
+        return cls(**kw)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -196,4 +221,5 @@ class SegFormer(nn.Module):
             method="bilinear")
 
 
-__all__ = ["SegFormer", "EfficientAttention", "MixFFN", "OverlapPatchEmbed"]
+__all__ = ["SegFormer", "SEGFORMER_PRESETS", "EfficientAttention", "MixFFN",
+           "OverlapPatchEmbed"]

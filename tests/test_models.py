@@ -165,7 +165,8 @@ class TestEngine:
 
     @pytest.mark.parametrize("name,w,h", [
         ("deeplab", 64, 32), ("deeplab_xception", 64, 32),
-        ("unet", 64, 32), ("segformer", 64, 64)])
+        ("unet", 64, 32), ("segformer", 64, 64),
+        ("segformer_b2", 64, 64)])
     def test_other_backbones_forward(self, rng, name, w, h):
         cfg = ModelConfig(name=name, input_width=w, input_height=h,
                           num_classes=15, dtype="float32")
@@ -174,6 +175,19 @@ class TestEngine:
         seg = np.asarray(eng.predict(frame))
         assert seg.shape == (h, w)
         assert set(np.unique(seg)) <= {0, 1, 2}
+
+    def test_segformer_presets(self):
+        from bugcar_image_segmentation_tpu.models.segformer import (
+            SEGFORMER_PRESETS, SegFormer)
+
+        b2 = SegFormer.preset("b2", num_classes=7)
+        assert b2.widths == (64, 128, 320, 512)
+        assert b2.depths == (3, 4, 6, 3)
+        assert b2.decoder_dim == 768
+        assert b2.num_classes == 7
+        assert set(SEGFORMER_PRESETS) == {"b0", "b1", "b2", "b3"}
+        with pytest.raises(ValueError, match="unknown SegFormer size"):
+            build_engine("segformer_b9")
 
 
 # ---------------------------------------------------------------------------
