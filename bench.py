@@ -105,9 +105,29 @@ def main() -> None:
     jax.block_until_ready(run_scan(engine.variables, dev_frame))
     dev_fps = 50 / (time.perf_counter() - t0)
 
+    # Batched device-side rate: the streaming path ships 4 frames per put
+    # and runs the vmapped program, so per-op fixed costs amortize — this
+    # is the device throughput ceiling behind the sustained headline.
+    batch = jnp.stack([dev_frame] * tb)
+
+    @jax.jit
+    def run_scan_batch(variables, frames):
+        def body(carry, i):
+            f = frames ^ i.astype(frames.dtype)
+            grids = jax.vmap(lambda fr: pipe._run_impl(variables, fr)[0])(f)
+            return carry, grids
+        _, gs = jax.lax.scan(body, 0, jnp.arange(25, dtype=jnp.uint8))
+        return gs[-1]
+
+    jax.block_until_ready(run_scan_batch(engine.variables, batch))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_scan_batch(engine.variables, batch))
+    dev_fps_b = 25 * tb / (time.perf_counter() - t0)
+
     print(f"[bench] sustained trials {[round(t, 1) for t in trials]} fps "
           f"(median {fps:.1f}, best {best_fps:.1f}); "
-          f"p50 latency {p50_ms:.2f} ms; device-side {dev_fps:.0f} fps",
+          f"p50 latency {p50_ms:.2f} ms; device-side {dev_fps:.0f} fps "
+          f"(batch-{tb}: {dev_fps_b:.0f} fps)",
           file=sys.stderr)
     print(json.dumps({
         "metric": "frames/sec/chip sustained (median of 7), 640x480 "
