@@ -14,6 +14,10 @@ TPU-first specifics:
 - Spatial-reduction attention (sr_ratio) shrinks K/V by conv-pooling, so
   kv-length is at most ~4k — K/V tiles stay resident while Q streams.
 - NHWC throughout; LayerNorm in f32, matmuls bf16 → f32 accumulate.
+- ``quant=True`` (engine name suffix ``_int8``) runs every Dense
+  projection through the dynamic W8A8 int8 MXU path (ops/quant.py) at
+  2x bf16 matmul throughput — same float32 parameter tree, so trained /
+  converted weights load unchanged.
 """
 
 from __future__ import annotations
@@ -25,6 +29,15 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.pallas.attention import flash_attention
+from ..ops.quant import Int8Dense
+
+
+def _dense(features: int, *, quant: bool, dtype: Any, name: str):
+    """nn.Dense or its int8-MXU drop-in (same param tree either way)."""
+    if quant:
+        return Int8Dense(features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, param_dtype=jnp.float32,
+                    name=name)
 
 
 class OverlapPatchEmbed(nn.Module):
@@ -51,6 +64,7 @@ class EfficientAttention(nn.Module):
     num_heads: int
     sr_ratio: int = 1
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
@@ -58,8 +72,8 @@ class EfficientAttention(nn.Module):
         h, w = hw
         head_dim = self.dim // self.num_heads
 
-        q = nn.Dense(self.dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="q")(x)
+        q = _dense(self.dim, quant=self.quant, dtype=self.dtype,
+                   name="q")(x)
 
         kv_in = x
         if self.sr_ratio > 1:
@@ -71,10 +85,10 @@ class EfficientAttention(nn.Module):
             kv_in = kv_in.reshape(n, -1, self.dim)
             kv_in = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
                                  name="sr_norm")(kv_in).astype(self.dtype)
-        k = nn.Dense(self.dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="k")(kv_in)
-        v = nn.Dense(self.dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="v")(kv_in)
+        k = _dense(self.dim, quant=self.quant, dtype=self.dtype,
+                   name="k")(kv_in)
+        v = _dense(self.dim, quant=self.quant, dtype=self.dtype,
+                   name="v")(kv_in)
 
         def split(t):
             return t.reshape(n, t.shape[1], self.num_heads,
@@ -82,8 +96,8 @@ class EfficientAttention(nn.Module):
 
         out = flash_attention(split(q), split(k), split(v))
         out = out.transpose(0, 2, 1, 3).reshape(n, l, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="proj")(out)
+        return _dense(self.dim, quant=self.quant, dtype=self.dtype,
+                      name="proj")(out)
 
 
 class MixFFN(nn.Module):
@@ -92,22 +106,23 @@ class MixFFN(nn.Module):
     dim: int
     expansion: int = 4
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
         n, l, c = x.shape
         h, w = hw
         hidden = self.dim * self.expansion
-        y = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc1")(x)
+        y = _dense(hidden, quant=self.quant, dtype=self.dtype,
+                   name="fc1")(x)
         y = y.reshape(n, h, w, hidden)
         y = nn.Conv(hidden, (3, 3), padding="SAME",
                     feature_group_count=hidden, dtype=self.dtype,
                     param_dtype=jnp.float32, name="dwconv")(y)
         y = y.reshape(n, l, hidden)
         y = nn.gelu(y)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                        name="fc2")(y)
+        return _dense(self.dim, quant=self.quant, dtype=self.dtype,
+                      name="fc2")(y)
 
 
 class Block(nn.Module):
@@ -115,6 +130,7 @@ class Block(nn.Module):
     num_heads: int
     sr_ratio: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
@@ -122,9 +138,9 @@ class Block(nn.Module):
             return nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
                                 name=name)(t).astype(self.dtype)
         x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
-                                   dtype=self.dtype,
+                                   dtype=self.dtype, quant=self.quant,
                                    name="attn")(ln(x, "norm1"), hw)
-        x = x + MixFFN(self.dim, dtype=self.dtype,
+        x = x + MixFFN(self.dim, dtype=self.dtype, quant=self.quant,
                        name="ffn")(ln(x, "norm2"), hw)
         return x
 
@@ -161,6 +177,7 @@ class SegFormer(nn.Module):
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
     decoder_dim: int = 256
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @classmethod
     def preset(cls, size: str, **overrides) -> "SegFormer":
@@ -188,7 +205,7 @@ class SegFormer(nn.Module):
             x = x.reshape(n_, h * w, c)
             for b in range(self.depths[s]):
                 x = Block(self.widths[s], self.num_heads[s],
-                          self.sr_ratios[s], dtype=dt,
+                          self.sr_ratios[s], dtype=dt, quant=self.quant,
                           name=f"stage{s}_block{b}")(x, (h, w))
             x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
                              name=f"norm{s}")(x).astype(dt)
@@ -200,8 +217,8 @@ class SegFormer(nn.Module):
         target_hw = (feats[0].shape[1], feats[0].shape[2])
         proj = []
         for s, f in enumerate(feats):
-            p = nn.Dense(self.decoder_dim, dtype=dt, param_dtype=jnp.float32,
-                         name=f"linear_c{s}")(f)
+            p = _dense(self.decoder_dim, quant=self.quant, dtype=dt,
+                       name=f"linear_c{s}")(f)
             if p.shape[1:3] != target_hw:
                 p = jax.image.resize(
                     p, (n, target_hw[0], target_hw[1], self.decoder_dim),
