@@ -49,9 +49,14 @@ class Engine:
                  module: Any,
                  cfg: ModelConfig,
                  variables: Optional[dict] = None,
-                 remap_table: Optional[np.ndarray] = None):
+                 remap_table: Optional[np.ndarray] = None,
+                 apply_fn: Optional[Callable] = None):
         self.module = module
         self.cfg = cfg
+        # Alternate executor over the SAME variable tree (e.g. the
+        # fused-Pallas ENet trunk, models/enet_fused.py); None = the
+        # module's own apply.
+        self.apply_fn = apply_fn or module.apply
         self.remap_table = (remap.remap_table(cfg.num_classes)
                             if remap_table is None else remap_table)
         if variables is None:
@@ -73,7 +78,7 @@ class Engine:
 
     def _forward(self, variables: dict, frames_bgr: jax.Array) -> jax.Array:
         x = pre.preprocess_for_config(frames_bgr, self.cfg)
-        return self.module.apply(variables, x, train=False)
+        return self.apply_fn(variables, x, train=False)
 
     def _logits_impl(self, variables: dict,
                      frames_bgr: jax.Array) -> jax.Array:
@@ -93,12 +98,12 @@ class Engine:
         # From an already-preprocessed NHWC batch (the reference's
         # predict() contract, models.py:42 — preprocess was a separate
         # host step there).
-        logits = self.module.apply(variables, x, train=False)
+        logits = self.apply_fn(variables, x, train=False)
         return remap.logits_to_drivability(logits, self.remap_table)
 
     def _predict_pre_binary_impl(self, variables: dict,
                                  x: jax.Array) -> jax.Array:
-        logits = self.module.apply(variables, x, train=False)
+        logits = self.apply_fn(variables, x, train=False)
         return remap.logits_to_binary_road(logits)
 
     # -- public API (reference models.py:42/70 equivalents) ------------------
