@@ -152,10 +152,19 @@ def build_engine(name: str = "enet",
     (the Keras model.h5 configuration), ``segformer`` (BASELINE config 5).
     """
     name = name.lower()
+    apply_fn = None
     if name == "enet":
         from .enet import ENet
         cfg = cfg or ModelConfig()
         module = ENet(num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype))
+    elif name == "enet_fused":
+        # Same module/variable tree as "enet"; forward runs the Pallas
+        # fused-bottleneck trunk (models/enet_fused.py).
+        from .enet import ENet
+        from .enet_fused import FusedENetApply
+        cfg = cfg or ModelConfig(name="enet_fused")
+        module = ENet(num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype))
+        apply_fn = FusedENetApply(cfg.num_classes, jnp.dtype(cfg.dtype))
     elif name == "deeplab":
         from .deeplab import DeepLabV3
         cfg = cfg or ModelConfig(name="deeplab", input_width=1024,
@@ -177,7 +186,11 @@ def build_engine(name: str = "enet",
                                    dtype=jnp.dtype(cfg.dtype))
     elif name == "segformer" or name.startswith("segformer_b"):
         from .segformer import SEGFORMER_PRESETS, SegFormer
-        size = name.split("_", 1)[1] if "_" in name else "b0"
+        # "segformer", "segformer_b2", "segformer_b2_int8" (W8A8 MXU path —
+        # same param tree as the float variant, see ops/quant.py).
+        quant = name.endswith("_int8")
+        base = name[:-len("_int8")] if quant else name
+        size = base.split("_", 1)[1] if "_" in base else "b0"
         if size not in SEGFORMER_PRESETS:
             raise ValueError(
                 f"unknown SegFormer size {size!r}; "
@@ -185,10 +198,10 @@ def build_engine(name: str = "enet",
         cfg = cfg or ModelConfig(name=name, input_width=1024,
                                  input_height=1024, num_classes=15)
         module = SegFormer.preset(size, num_classes=cfg.num_classes,
-                                  dtype=jnp.dtype(cfg.dtype))
+                                  dtype=jnp.dtype(cfg.dtype), quant=quant)
     else:
         raise ValueError(f"unknown model {name!r}")
-    return Engine(module, cfg, variables=variables)
+    return Engine(module, cfg, variables=variables, apply_fn=apply_fn)
 
 
 __all__ = ["Engine", "build_engine"]

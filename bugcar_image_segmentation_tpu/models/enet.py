@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import pooling
-from .fastconv import FastConvTranspose2x, FastStemConv2x
+from .fastconv import (FastConvTranspose2x, FastDownConv2x, FastStemConv2x,
+                       depth_to_space)
 
 
 # ---------------------------------------------------------------------------
@@ -53,6 +54,19 @@ def max_pool_with_indices(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return pooled, idx
 
 
+def max_unpool_phase(pooled: jax.Array, idx: jax.Array) -> jax.Array:
+    """:func:`max_unpool` in the packed PHASE layout: (N, H, W, 4C) with
+    channel order (row-phase, col-phase, c) — i.e. the unpooled tensor
+    before its depth-to-space, for callers that keep computing in the
+    phase domain (the fast up-bottleneck path below)."""
+    n, hh, ww, c = pooled.shape
+    slots = jnp.arange(4, dtype=jnp.uint8).reshape(1, 1, 1, 4, 1)
+    onehot = (idx[:, :, :, None, :] == slots)
+    spread = jnp.where(onehot, pooled[:, :, :, None, :],
+                       jnp.zeros((), pooled.dtype))
+    return spread.reshape(n, hh, ww, 4 * c)
+
+
 def max_unpool(pooled: jax.Array, idx: jax.Array) -> jax.Array:
     """Inverse of :func:`max_pool_with_indices`.
 
@@ -60,13 +74,7 @@ def max_unpool(pooled: jax.Array, idx: jax.Array) -> jax.Array:
     elsewhere — expressed as a one-hot multiply so it lowers to VPU
     select/multiply instead of a scatter.
     """
-    n, hh, ww, c = pooled.shape
-    slots = jnp.arange(4, dtype=jnp.uint8).reshape(1, 1, 1, 4, 1)
-    onehot = (idx[:, :, :, None, :] == slots)
-    spread = jnp.where(onehot, pooled[:, :, :, None, :],
-                       jnp.zeros((), pooled.dtype))
-    spread = spread.reshape(n, hh, ww, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-    return spread.reshape(n, hh * 2, ww * 2, c)
+    return depth_to_space(max_unpool_phase(pooled, idx))
 
 
 # ---------------------------------------------------------------------------
@@ -85,8 +93,96 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha * x)
 
 
+class PhasePReLU(nn.Module):
+    """PReLU over the packed phase layout (..., P*C) with an alpha of
+    shape (C,) — the identical parameter tree as :class:`PReLU` applied
+    after depth-to-space (channel order is phase-major, so the per-channel
+    alpha tiles P times)."""
+
+    features: int
+    phases: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param("alpha", nn.initializers.constant(0.25),
+                           (self.features,), jnp.float32)
+        a = jnp.tile(alpha, self.phases).astype(x.dtype)
+        return jnp.where(x >= 0, x, a * x)
+
+
+class PhaseBatchNorm(nn.Module):
+    """Inference BatchNorm over the packed phase layout (..., P*C) with
+    parameters/statistics of shape (C,) — the identical variable tree as
+    ``nn.BatchNorm`` applied after depth-to-space (each phase is just a
+    different pixel of the same channel)."""
+
+    features: int
+    phases: int = 4
+    epsilon: float = 1e-3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32)).value
+        dt = jnp.dtype(self.dtype)
+        mul = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(dt)
+        add = (bias - mean * scale
+               * jax.lax.rsqrt(var + self.epsilon)).astype(dt)
+        return (x.astype(dt) * jnp.tile(mul, self.phases)
+                + jnp.tile(add, self.phases))
+
+
+class PhaseConv1x1(nn.Module):
+    """1x1 conv applied identically to every phase of (..., P*Cin):
+    a grouped conv with the (1, 1, Cin, Cout) kernel tiled across groups.
+    Parameter tree identical to ``nn.Conv(features, (1, 1),
+    use_bias=False)`` after depth-to-space."""
+
+    features: int
+    phases: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1] // self.phases
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features), jnp.float32)
+        wg = jnp.tile(kernel, (1, 1, 1, self.phases)).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wg, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.phases)
+
+
+class PhaseExpand(nn.Module):
+    """The up-bottleneck's ``expand`` ConvBNAct((1,1), act=False) computed
+    in the phase domain (inference only); variable tree matches
+    :class:`ConvBNAct` exactly (children Conv_0 + BatchNorm_0)."""
+
+    features: int
+    phases: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = PhaseConv1x1(self.features, self.phases, dtype=self.dtype,
+                         name="Conv_0")(x)
+        return PhaseBatchNorm(self.features, self.phases, dtype=self.dtype,
+                              name="BatchNorm_0")(y)
+
+
 class ConvBNAct(nn.Module):
-    """Conv → BatchNorm → PReLU/none, the repeated ENet motif."""
+    """Conv → BatchNorm → PReLU/none, the repeated ENet motif.
+
+    ``fast`` reroutes a 2x2/stride-2 conv through
+    :class:`~.fastconv.FastDownConv2x` (exact same math and param tree;
+    measured hotspot fix, PERF.md round 2b)."""
 
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -95,13 +191,19 @@ class ConvBNAct(nn.Module):
     use_bias: bool = False
     act: bool = True
     dtype: Any = jnp.bfloat16
+    fast: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Conv(self.features, self.kernel, strides=self.strides,
-                    kernel_dilation=self.dilation, padding="SAME",
-                    use_bias=self.use_bias, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
+        if (self.fast and self.kernel == (2, 2)
+                and self.strides == (2, 2) and not self.use_bias):
+            x = FastDownConv2x(self.features, dtype=self.dtype,
+                               name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                        kernel_dilation=self.dilation, padding="SAME",
+                        use_bias=self.use_bias, dtype=self.dtype,
+                        param_dtype=jnp.float32)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32)(x)
@@ -161,11 +263,19 @@ class Bottleneck(nn.Module):
                  ) -> Tuple[jax.Array, Optional[jax.Array]]:
         mid = self.features // self.projection_ratio
         new_idx = None
+        # Phase-domain fast path for "up" (inference): the deconv's
+        # pre-depth-to-space tensor stays packed — BN, PReLU, expand,
+        # unpool-skip and the output PReLU all run at the LOW resolution
+        # with 4x the channels, and one depth-to-space at the end emits
+        # the result.  Same math (phase-major channel order throughout),
+        # same variable tree; avoids every lane-starved high-res op
+        # (measured stage-5 hotspot, PERF.md round 2b).
+        phase = self.kind == "up" and self.fast and not train
 
         # -- main branch ----------------------------------------------------
         if self.kind == "down":
             y = ConvBNAct(mid, (2, 2), strides=(2, 2), dtype=self.dtype,
-                          name="proj")(x, train)
+                          fast=self.fast, name="proj")(x, train)
         else:
             y = ConvBNAct(mid, (1, 1), dtype=self.dtype, name="proj")(x, train)
 
@@ -178,24 +288,35 @@ class Bottleneck(nn.Module):
         elif self.kind == "up":
             if self.fast:
                 y = FastConvTranspose2x(mid, kernel=3, use_bias=False,
-                                        dtype=self.dtype, name="deconv")(y)
+                                        dtype=self.dtype, name="deconv")(
+                    y, phase_out=phase)
             else:
                 y = nn.ConvTranspose(mid, (3, 3), strides=(2, 2),
                                      padding="SAME", use_bias=False,
                                      dtype=self.dtype,
                                      param_dtype=jnp.float32,
                                      name="deconv")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-3, dtype=self.dtype,
-                             param_dtype=jnp.float32, name="deconv_bn")(y)
-            y = PReLU(name="deconv_act")(y)
+            if phase:
+                y = PhaseBatchNorm(mid, dtype=self.dtype,
+                                   name="deconv_bn")(y)
+                y = PhasePReLU(mid, name="deconv_act")(y)
+            else:
+                y = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-3,
+                                 dtype=self.dtype, param_dtype=jnp.float32,
+                                 name="deconv_bn")(y)
+                y = PReLU(name="deconv_act")(y)
         else:
             d = (self.dilation, self.dilation)
             y = ConvBNAct(mid, (3, 3), dilation=d, dtype=self.dtype,
                           name="conv")(y, train)
 
-        y = ConvBNAct(self.features, (1, 1), act=False, dtype=self.dtype,
-                      name="expand")(y, train)
+        if phase:
+            y = PhaseExpand(self.features, dtype=self.dtype,
+                            name="expand")(y)
+        else:
+            y = ConvBNAct(self.features, (1, 1), act=False, dtype=self.dtype,
+                          name="expand")(y, train)
         if train and self.dropout_rate > 0:
             # Spatial dropout: drop whole channels (ENet's regulariser).
             y = nn.Dropout(self.dropout_rate,
@@ -213,10 +334,14 @@ class Bottleneck(nn.Module):
             if pool_idx is None:
                 raise ValueError("'up' bottleneck needs the matching "
                                  "encoder pool indices")
-            skip = max_unpool(skip, pool_idx)
+            skip = (max_unpool_phase(skip, pool_idx) if phase
+                    else max_unpool(skip, pool_idx))
         else:
             skip = x
 
+        if phase:
+            out = PhasePReLU(self.features, name="out_act")(y + skip)
+            return depth_to_space(out), new_idx
         return PReLU(name="out_act")(y + skip), new_idx
 
 
@@ -301,5 +426,6 @@ class ENet(nn.Module):
         return x.astype(jnp.float32)
 
 
-__all__ = ["ENet", "InitialBlock", "Bottleneck", "PReLU",
-           "max_pool_with_indices", "max_unpool"]
+__all__ = ["ENet", "InitialBlock", "Bottleneck", "PReLU", "PhasePReLU",
+           "PhaseBatchNorm", "PhaseConv1x1", "PhaseExpand",
+           "max_pool_with_indices", "max_unpool", "max_unpool_phase"]

@@ -67,7 +67,11 @@ class FastConvTranspose2x(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, phase_out: bool = False) -> jax.Array:
+        """``phase_out=True`` returns the pre-depth-to-space phase tensor
+        (N, H, W, 4*features), channel layout (row-phase, col-phase, c) —
+        lets a caller keep computing in the packed domain (see the ENet
+        up-bottleneck phase path, models/enet.py) and defer the relayout."""
         if self.kernel not in (2, 3):
             raise ValueError(f"kernel must be 2 or 3, got {self.kernel}")
         cin = x.shape[-1]
@@ -100,6 +104,12 @@ class FastConvTranspose2x(nn.Module):
         z = lax.conv_general_dilated(
             x.astype(self.dtype), w2.astype(self.dtype), (1, 1), pad,
             dimension_numbers=_DN)
+        if phase_out:
+            if self.use_bias:
+                bias = self.param("bias", initializers.zeros_init(),
+                                  (self.features,), jnp.float32)
+                z = z + jnp.tile(bias, 4).astype(z.dtype)
+            return z
         y = depth_to_space(z)
         if self.use_bias:
             bias = self.param("bias", initializers.zeros_init(),
@@ -151,5 +161,41 @@ class FastStemConv2x(nn.Module):
         return y
 
 
-__all__ = ["FastConvTranspose2x", "FastStemConv2x",
+class FastDownConv2x(nn.Module):
+    """Drop-in for ``nn.Conv(features, (2, 2), strides=(2, 2),
+    padding='SAME', use_bias=False)`` (even H, W ⇒ SAME adds no padding);
+    same param tree, computed as space-to-depth + a 1x1 dense conv.
+
+    A 2x2/stride-2 conv has non-overlapping windows, so it is EXACTLY a
+    1x1 conv over the phase-packed channels: ``y[p,q] = Σ_{r,s}
+    x[2p+r, 2q+s] W[r,s]`` and the s2d channel order (row-phase major)
+    matches ``kernel.reshape(4*cin, cout)`` directly.  This is the
+    projection conv of every ENet "down" bottleneck
+    (models/enet.py:166-168), where XLA's strided lowering over 16-64
+    channels was a measured hotspot (PERF.md round 2b)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            raise ValueError(
+                f"FastDownConv2x needs even H, W; got {x.shape}")
+        cin = x.shape[-1]
+        kernel = self.param("kernel", initializers.lecun_normal(),
+                            (2, 2, cin, self.features), jnp.float32)
+        w2 = kernel.reshape(1, 1, 4 * cin, self.features)
+        y = lax.conv_general_dilated(
+            space_to_depth(x).astype(self.dtype), w2.astype(self.dtype),
+            (1, 1), ((0, 0), (0, 0)), dimension_numbers=_DN)
+        if self.use_bias:
+            bias = self.param("bias", initializers.zeros_init(),
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+__all__ = ["FastConvTranspose2x", "FastDownConv2x", "FastStemConv2x",
            "space_to_depth", "depth_to_space"]

@@ -19,12 +19,21 @@ def max_pool_2x2(x: jax.Array) -> jax.Array:
     """2x2/stride-2 max pool over (..., H, W, C), H and W even.
 
     Bit-identical to ``flax.linen.max_pool(x, (2, 2), (2, 2))``.
+
+    Form matters enormously here: reducing the two strided window axes
+    in place (``max(axis=(-4, -2))``) measured 191 us on a (256, 512, 3)
+    bf16 frame — XLA keeps the 3-wide channel minor dim and the VPU runs
+    at 3/128 lane occupancy.  Transposing the window elements next to the
+    channels first (the space-to-depth phase layout) and reducing one
+    contiguous axis is the same reduction at 3 us (60x, measured on the
+    bench v5e; see PERF.md round 2b).
     """
     shape = x.shape
     h, w, c = shape[-3], shape[-2], shape[-1]
     lead = shape[:-3]
-    y = x.reshape(lead + (h // 2, 2, w // 2, 2, c))
-    return y.max(axis=(-4, -2))
+    y = x.reshape((-1, h // 2, 2, w // 2, 2, c))
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(-1, h // 2, w // 2, 4, c)
+    return y.max(axis=-2).reshape(lead + (h // 2, w // 2, c))
 
 
 def max_pool(x: jax.Array, window: Tuple[int, int],

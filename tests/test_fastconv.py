@@ -76,6 +76,29 @@ def test_stem_parity():
     np.testing.assert_allclose(fast.apply(v, x), ref.apply(v, x), atol=1e-5)
 
 
+def test_down_conv_parity():
+    from bugcar_image_segmentation_tpu.models.fastconv import FastDownConv2x
+
+    x = jax.random.normal(RNG, (2, 16, 24, 16), jnp.float32)
+    ref = nn.Conv(8, (2, 2), strides=(2, 2), padding="SAME",
+                  use_bias=False, dtype=jnp.float32,
+                  param_dtype=jnp.float32)
+    fast = FastDownConv2x(8, dtype=jnp.float32)
+    v = ref.init(RNG, x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(fast.init(RNG, x)))
+    np.testing.assert_allclose(fast.apply(v, x), ref.apply(v, x), atol=1e-5)
+
+
+def test_down_conv_rejects_odd_input():
+    from bugcar_image_segmentation_tpu.models.fastconv import FastDownConv2x
+
+    fast = FastDownConv2x(8, dtype=jnp.float32)
+    v = fast.init(RNG, jnp.zeros((1, 16, 16, 4), jnp.float32))
+    with pytest.raises(ValueError, match="even"):
+        fast.apply(v, jnp.zeros((1, 15, 16, 4), jnp.float32))
+
+
 def test_stem_rejects_odd_input():
     x = jnp.zeros((1, 15, 16, 3), jnp.float32)
     fast = FastStemConv2x(13, dtype=jnp.float32)
@@ -112,6 +135,47 @@ def test_unet_fast_slow_parity():
     np.testing.assert_allclose(fast.apply(v, x, train=False),
                                slow.apply(v, x, train=False),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_up_bottleneck_phase_path_parity():
+    # The phase-domain up-bottleneck (inference fast path) must match the
+    # textbook lowering bit-for-bit-ish at f32, from the SAME variables.
+    from bugcar_image_segmentation_tpu.models.enet import (
+        Bottleneck, max_pool_with_indices)
+
+    x_hi = jax.random.normal(RNG, (2, 16, 24, 16), jnp.float32)
+    pooled, idx = max_pool_with_indices(x_hi)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 12, 64),
+                          jnp.float32)
+    slow = Bottleneck(16, "up", dtype=jnp.float32, fast=False)
+    fast = Bottleneck(16, "up", dtype=jnp.float32, fast=True)
+    v = slow.init(RNG, x, train=False, pool_idx=idx)
+    vf = fast.init(RNG, x, train=False, pool_idx=idx)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(vf))
+    y_slow, _ = slow.apply(v, x, train=False, pool_idx=idx)
+    y_fast, _ = fast.apply(v, x, train=False, pool_idx=idx)
+    np.testing.assert_allclose(y_fast, y_slow, atol=2e-4, rtol=1e-4)
+
+
+def test_up_bottleneck_phase_init_then_train_apply():
+    # init traces the inference (phase) branch; a train-mode apply runs
+    # the textbook modules over the same tree and must mutate batch_stats.
+    from bugcar_image_segmentation_tpu.models.enet import (
+        Bottleneck, max_pool_with_indices)
+
+    x_hi = jax.random.normal(RNG, (1, 8, 8, 16), jnp.float32)
+    _, idx = max_pool_with_indices(x_hi)
+    x = jax.random.normal(RNG, (1, 4, 4, 64), jnp.float32)
+    mod = Bottleneck(16, "up", dtype=jnp.float32, fast=True)
+    v = mod.init(RNG, x, train=False, pool_idx=idx)
+    (y, _), mutated = mod.apply(
+        v, x, train=True, pool_idx=idx, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)})
+    assert y.shape == (1, 8, 8, 16)
+    before = v["batch_stats"]["deconv_bn"]["mean"]
+    after = mutated["batch_stats"]["deconv_bn"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
 def test_fast_path_differentiable():
