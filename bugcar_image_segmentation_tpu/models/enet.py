@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..ops import pooling
 from .fastconv import (FastConvTranspose2x, FastDownConv2x, FastStemConv2x,
-                       depth_to_space)
+                       depth_to_space, space_to_depth)
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +177,45 @@ class PhaseExpand(nn.Module):
                               name="BatchNorm_0")(y)
 
 
+class ChwBatchNorm(nn.Module):
+    """Inference BatchNorm over a TRANSPOSED (C, M) activation —
+    channels on sublanes, pixels on lanes — with the identical variable
+    tree as ``nn.BatchNorm`` on the NHWC tensor."""
+
+    features: int
+    epsilon: float = 1e-3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32)).value
+        dt = jnp.dtype(self.dtype)
+        rs = jax.lax.rsqrt(var + self.epsilon)
+        mul = (scale * rs).astype(dt)[:, None]
+        add = (bias - mean * scale * rs).astype(dt)[:, None]
+        return x.astype(dt) * mul + add
+
+
+class ChwPReLU(nn.Module):
+    """PReLU over a transposed (C, M) activation; alpha tree identical to
+    :class:`PReLU` on the NHWC tensor."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param("alpha", nn.initializers.constant(0.25),
+                           (self.features,), jnp.float32)
+        a = alpha.astype(x.dtype)[:, None]
+        return jnp.where(x >= 0, x, a * x)
+
+
 class ConvBNAct(nn.Module):
     """Conv → BatchNorm → PReLU/none, the repeated ENet motif.
 
@@ -225,6 +264,26 @@ class InitialBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.fast and not train:
+            # CHW inference path: ONE space-to-depth feeds both branches;
+            # the conv runs transposed (channels on sublanes, pixels on
+            # lanes — 6x faster at 3-16 channels, PERF.md round 2b), the
+            # pool is a phase-max of the same packed tensor, and BN+PReLU
+            # apply in the transposed domain before a single transpose
+            # back to NHWC.  Identical math + variable tree.
+            n, h, w, _ = x.shape
+            xp = space_to_depth(x)                        # (n,h/2,w/2,12)
+            conv_t = FastStemConv2x(13, dtype=self.dtype, name="Conv_0")(
+                xp, packed=True, chw_out=True)            # (13, NHW)
+            pool = jnp.max(xp.reshape(n, h // 2, w // 2, 4, 3), axis=3)
+            pool_t = pool.reshape(n * (h // 2) * (w // 2), 3).T
+            out_t = jnp.concatenate([conv_t,
+                                     pool_t.astype(conv_t.dtype)], axis=0)
+            out_t = ChwBatchNorm(16, dtype=self.dtype,
+                                 name="BatchNorm_0")(out_t)
+            out_t = ChwPReLU(16, name="PReLU_0")(out_t)
+            return out_t.T.reshape(n, h // 2, w // 2, 16)
+
         if self.fast:
             conv = FastStemConv2x(13, dtype=self.dtype, name="Conv_0")(x)
         else:
@@ -256,6 +315,12 @@ class Bottleneck(nn.Module):
     dropout_rate: float = 0.1
     dtype: Any = jnp.bfloat16
     fast: bool = True
+    # Keep the "up" inference path in the packed phase domain (see below);
+    # independent of ``fast`` so the two lowerings can be A/B-measured.
+    # Default OFF: measured 26 us SLOWER than the depth-to-space lowering
+    # on the bench v5e (stage-5 A/B, PERF.md round 2b) — the grouped conv
+    # and tiled-weight forms lower worse than the relayouts they save.
+    phase_up: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -270,7 +335,8 @@ class Bottleneck(nn.Module):
         # the result.  Same math (phase-major channel order throughout),
         # same variable tree; avoids every lane-starved high-res op
         # (measured stage-5 hotspot, PERF.md round 2b).
-        phase = self.kind == "up" and self.fast and not train
+        phase = (self.kind == "up" and self.fast and self.phase_up
+                 and not train)
 
         # -- main branch ----------------------------------------------------
         if self.kind == "down":

@@ -130,12 +130,20 @@ class FastStemConv2x(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        if x.shape[1] % 2 or x.shape[2] % 2:
+    def __call__(self, x: jax.Array, packed: bool = False,
+                 chw_out: bool = False) -> jax.Array:
+        """``packed=True`` takes the space-to-depth tensor (N, H/2, W/2,
+        4*Cin) directly (lets the caller share one s2d).  ``chw_out=True``
+        returns the TRANSPOSED result (features, N*H/2*W/2) — channels on
+        sublanes, pixels on lanes — the orientation in which a
+        few-channel conv actually fills the MXU (measured 8.7 vs 51.5 us
+        for the RGB stem on the bench v5e, PERF.md round 2b)."""
+        if not packed and (x.shape[1] % 2 or x.shape[2] % 2):
             raise ValueError(
                 f"FastStemConv2x needs even H, W (SAME pad_lo is 0 only "
                 f"then); got {x.shape}")
-        cin = x.shape[-1]
+        xp = x if packed else space_to_depth(x)
+        cin = xp.shape[-1] // 4
         kernel = self.param("kernel", initializers.lecun_normal(),
                             (3, 3, cin, self.features), jnp.float32)
         # Even input ⇒ SAME pad is (0, 1): y[p] = sum_i x[2p+i] W[i], so
@@ -151,8 +159,26 @@ class FastStemConv2x(nn.Module):
             rows.append(jnp.stack(cols, axis=0))            # (2, 4, ci, co)
         w2 = jnp.stack(rows, axis=0)                        # (2, 2, 4, ci, co)
         w2 = w2.reshape(2, 2, 4 * cin, self.features)
+
+        if chw_out:
+            n, h, w, c4 = xp.shape
+            cp = jnp.pad(xp, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            taps = [cp[:, a:a + h, b:b + w, :] for a in (0, 1)
+                    for b in (0, 1)]
+            x16 = jnp.concatenate(taps, axis=-1)        # (n, h, w, 4*c4)
+            xt = x16.reshape(n * h * w, 4 * c4).T       # (4*c4, NHW)
+            wt = w2.transpose(3, 0, 1, 2).reshape(self.features, 4 * c4)
+            y = lax.dot(wt.astype(self.dtype), xt.astype(self.dtype),
+                        preferred_element_type=jnp.float32)
+            y = y.astype(self.dtype)                    # (features, NHW)
+            if self.use_bias:
+                bias = self.param("bias", initializers.zeros_init(),
+                                  (self.features,), jnp.float32)
+                y = y + bias.astype(y.dtype)[:, None]
+            return y
+
         y = lax.conv_general_dilated(
-            space_to_depth(x).astype(self.dtype), w2.astype(self.dtype),
+            xp.astype(self.dtype), w2.astype(self.dtype),
             (1, 1), ((0, 1), (0, 1)), dimension_numbers=_DN)
         if self.use_bias:
             bias = self.param("bias", initializers.zeros_init(),

@@ -137,6 +137,29 @@ def test_unet_fast_slow_parity():
                                atol=2e-4, rtol=1e-4)
 
 
+def test_initial_block_chw_path_parity():
+    # The CHW inference stem must match the textbook lowering from the
+    # same variables (init traces the CHW branch; train apply traces the
+    # textbook one — same tree both ways).
+    from bugcar_image_segmentation_tpu.models.enet import InitialBlock
+
+    x = jax.random.normal(RNG, (2, 16, 24, 3), jnp.float32)
+    fast = InitialBlock(dtype=jnp.float32, fast=True)
+    slow = InitialBlock(dtype=jnp.float32, fast=False)
+    vf = fast.init(RNG, x, train=False)
+    vs = slow.init(RNG, x, train=False)
+    assert (jax.tree_util.tree_structure(vf)
+            == jax.tree_util.tree_structure(vs))
+    y_fast = fast.apply(vf, x, train=False)
+    y_slow = slow.apply(vf, x, train=False)
+    np.testing.assert_allclose(y_fast, y_slow, atol=2e-4, rtol=1e-4)
+    # train-mode apply on the CHW-initialized tree runs and mutates stats
+    (_, mutated) = fast.apply(vf, x, train=True, mutable=["batch_stats"])
+    assert not np.allclose(
+        np.asarray(mutated["batch_stats"]["BatchNorm_0"]["mean"]),
+        np.asarray(vf["batch_stats"]["BatchNorm_0"]["mean"]))
+
+
 def test_up_bottleneck_phase_path_parity():
     # The phase-domain up-bottleneck (inference fast path) must match the
     # textbook lowering bit-for-bit-ish at f32, from the SAME variables.
@@ -148,7 +171,8 @@ def test_up_bottleneck_phase_path_parity():
     x = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 12, 64),
                           jnp.float32)
     slow = Bottleneck(16, "up", dtype=jnp.float32, fast=False)
-    fast = Bottleneck(16, "up", dtype=jnp.float32, fast=True)
+    fast = Bottleneck(16, "up", dtype=jnp.float32, fast=True,
+                      phase_up=True)
     v = slow.init(RNG, x, train=False, pool_idx=idx)
     vf = fast.init(RNG, x, train=False, pool_idx=idx)
     assert (jax.tree_util.tree_structure(v)
@@ -167,7 +191,7 @@ def test_up_bottleneck_phase_init_then_train_apply():
     x_hi = jax.random.normal(RNG, (1, 8, 8, 16), jnp.float32)
     _, idx = max_pool_with_indices(x_hi)
     x = jax.random.normal(RNG, (1, 4, 4, 64), jnp.float32)
-    mod = Bottleneck(16, "up", dtype=jnp.float32, fast=True)
+    mod = Bottleneck(16, "up", dtype=jnp.float32, fast=True, phase_up=True)
     v = mod.init(RNG, x, train=False, pool_idx=idx)
     (y, _), mutated = mod.apply(
         v, x, train=True, pool_idx=idx, mutable=["batch_stats"],
