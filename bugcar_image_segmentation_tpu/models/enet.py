@@ -180,9 +180,12 @@ class PhaseExpand(nn.Module):
 class ChwBatchNorm(nn.Module):
     """Inference BatchNorm over a TRANSPOSED (C, M) activation —
     channels on sublanes, pixels on lanes — with the identical variable
-    tree as ``nn.BatchNorm`` on the NHWC tensor."""
+    tree as ``nn.BatchNorm`` on the NHWC tensor.  ``phases > 1`` applies
+    the same (C,) statistics to a phase-major (P*C, M) packed tensor
+    (each phase is a different pixel of the same channel)."""
 
     features: int
+    phases: int = 1
     epsilon: float = 1e-3
     dtype: Any = jnp.bfloat16
 
@@ -197,23 +200,184 @@ class ChwBatchNorm(nn.Module):
                             lambda: jnp.ones((c,), jnp.float32)).value
         dt = jnp.dtype(self.dtype)
         rs = jax.lax.rsqrt(var + self.epsilon)
-        mul = (scale * rs).astype(dt)[:, None]
-        add = (bias - mean * scale * rs).astype(dt)[:, None]
-        return x.astype(dt) * mul + add
+        mul = (scale * rs).astype(dt)
+        add = (bias - mean * scale * rs).astype(dt)
+        if self.phases > 1:
+            mul = jnp.tile(mul, self.phases)
+            add = jnp.tile(add, self.phases)
+        return x.astype(dt) * mul[:, None] + add[:, None]
 
 
 class ChwPReLU(nn.Module):
     """PReLU over a transposed (C, M) activation; alpha tree identical to
-    :class:`PReLU` on the NHWC tensor."""
+    :class:`PReLU` on the NHWC tensor.  ``phases > 1``: phase-major
+    packed (P*C, M) input, alpha tiled."""
 
     features: int
+    phases: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         alpha = self.param("alpha", nn.initializers.constant(0.25),
                            (self.features,), jnp.float32)
-        a = alpha.astype(x.dtype)[:, None]
+        a = alpha
+        if self.phases > 1:
+            a = jnp.tile(a, self.phases)
+        a = a.astype(x.dtype)[:, None]
         return jnp.where(x >= 0, x, a * x)
+
+
+class ChwConv(nn.Module):
+    """1x1 or 3x3 SAME conv over a transposed (Cin, N*H*W) activation as
+    a direct ``W @ X`` matmul (3x3 via 9 stacked static-shift taps);
+    param tree identical to the NHWC ``nn.Conv`` (kernel (kh,kw,ci,co),
+    no bias)."""
+
+    features: int
+    kernel: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xt: jax.Array,
+                 nhw: Tuple[int, int, int]) -> jax.Array:
+        kh, kw = self.kernel
+        cin = xt.shape[0]
+        dt = jnp.dtype(self.dtype)
+        if (kh, kw) == (2, 2):
+            # stride-2 down-projection consuming an s2d-packed (4*Cin, M)
+            # input: exactly a matmul (cf. FastDownConv2x); param tree is
+            # the NHWC (2, 2, Cin, Cout) kernel.
+            cin4 = cin
+            cin = cin4 // 4
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (2, 2, cin, self.features), jnp.float32)
+            wt = kernel.reshape(cin4, self.features).T    # (co, (r,s,ci))
+            return jax.lax.dot(wt.astype(dt), xt.astype(dt),
+                               preferred_element_type=jnp.float32
+                               ).astype(dt)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cin, self.features), jnp.float32)
+        if (kh, kw) == (1, 1):
+            wt = kernel[0, 0].T                           # (co, ci)
+            y = jax.lax.dot(wt.astype(dt), xt.astype(dt),
+                            preferred_element_type=jnp.float32)
+        else:
+            if (kh, kw) != (3, 3):
+                raise ValueError(f"ChwConv supports 1x1/2x2-down/3x3, "
+                                 f"got {self.kernel}")
+            n, h, w = nhw
+            x4 = xt.reshape(cin, n, h, w)
+            xp = jnp.pad(x4, ((0, 0), (0, 0), (1, 1), (1, 1)))
+            taps = [xp[:, :, a:a + h, b:b + w]
+                    for a in range(3) for b in range(3)]
+            xcat = jnp.concatenate(taps, axis=0).reshape(9 * cin,
+                                                         n * h * w)
+            wt = kernel.transpose(3, 0, 1, 2).reshape(self.features,
+                                                      9 * cin)
+            y = jax.lax.dot(wt.astype(dt), xcat.astype(dt),
+                            preferred_element_type=jnp.float32)
+        return y.astype(dt)
+
+
+class ChwDeconv2xPhase(nn.Module):
+    """``ConvTranspose(features, (3,3), strides=2, SAME)`` in the CHW
+    phase domain: input (Cin, M_lo), output phase-major (4*features,
+    M_lo) — the caller depth-to-spaces once at the end.  Same kernel
+    re-indexing as :class:`~.fastconv.FastConvTranspose2x`; param tree
+    identical (``kernel`` (3, 3, ci, co))."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xt: jax.Array,
+                 nhw: Tuple[int, int, int]) -> jax.Array:
+        n, h, w = nhw
+        cin = xt.shape[0]
+        dt = jnp.dtype(self.dtype)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        # W2[a, b, ci, (r,s)co] = W[2a-r, 2b-s] (cf. fastconv.py)
+        wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        rows = []
+        for a in (0, 1):
+            cols = []
+            for b in (0, 1):
+                blocks = [wp[2 * a - r + 1, 2 * b - s + 1]
+                          for r in (0, 1) for s in (0, 1)]
+                cols.append(jnp.stack(blocks, axis=0))
+            rows.append(jnp.stack(cols, axis=0))
+        w2 = jnp.stack(rows, axis=0)                  # (2, 2, 4, ci, co)
+        w2 = w2.transpose(0, 1, 3, 2, 4).reshape(
+            2, 2, cin, 4 * self.features)
+        x4 = xt.reshape(cin, n, h, w)
+        xp = jnp.pad(x4, ((0, 0), (0, 0), (1, 0), (1, 0)))
+        taps = [xp[:, :, a:a + h, b:b + w] for a in (0, 1) for b in (0, 1)]
+        xcat = jnp.concatenate(taps, axis=0).reshape(4 * cin, n * h * w)
+        wt = w2.transpose(3, 0, 1, 2).reshape(4 * self.features, 4 * cin)
+        y = jax.lax.dot(wt.astype(dt), xcat.astype(dt),
+                        preferred_element_type=jnp.float32)
+        return y.astype(dt)
+
+
+class ChwPhaseConv1x1(nn.Module):
+    """Per-phase shared-weight 1x1 conv on phase-major (P*Cin, M); param
+    tree identical to ``nn.Conv(features, (1,1), use_bias=False)``."""
+
+    features: int
+    phases: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        p = self.phases
+        cin = z.shape[0] // p
+        m = z.shape[1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features), jnp.float32)
+        k = kernel[0, 0].astype(z.dtype)              # (ci, co)
+        z4 = z.reshape(p, cin, m)
+        y = jnp.einsum("ic,pin->pcn", k, z4,
+                       preferred_element_type=jnp.float32)
+        return y.astype(z.dtype).reshape(p * self.features, m)
+
+
+class ChwPhaseExpand(nn.Module):
+    """The up-bottleneck's ``expand`` in the CHW phase domain; variable
+    tree matches :class:`ConvBNAct` (children Conv_0 + BatchNorm_0)."""
+
+    features: int
+    phases: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        y = ChwPhaseConv1x1(self.features, self.phases, dtype=self.dtype,
+                            name="Conv_0")(z)
+        return ChwBatchNorm(self.features, phases=self.phases,
+                            dtype=self.dtype, name="BatchNorm_0")(y)
+
+
+class ChwConvBNAct(nn.Module):
+    """:class:`ConvBNAct` computed in the transposed (C, M) domain
+    (inference); identical variable tree (children Conv_0 / BatchNorm_0 /
+    PReLU_0)."""
+
+    features: int
+    kernel: Tuple[int, int] = (1, 1)
+    act: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xt: jax.Array,
+                 nhw: Tuple[int, int, int]) -> jax.Array:
+        y = ChwConv(self.features, self.kernel, dtype=self.dtype,
+                    name="Conv_0")(xt, nhw)
+        y = ChwBatchNorm(self.features, dtype=self.dtype,
+                         name="BatchNorm_0")(y)
+        if self.act:
+            y = ChwPReLU(self.features, name="PReLU_0")(y)
+        return y
 
 
 class ConvBNAct(nn.Module):
@@ -328,6 +492,87 @@ class Bottleneck(nn.Module):
                  ) -> Tuple[jax.Array, Optional[jax.Array]]:
         mid = self.features // self.projection_ratio
         new_idx = None
+
+        # CHW fast path for undilated regular bottlenecks at narrow
+        # widths (inference): the whole block — both 1x1s, the 3x3 core,
+        # folded BN, PReLUs and the residual — runs in the transposed
+        # (channels, pixels) orientation, where few-channel matmuls fill
+        # the MXU (PERF.md round 2b: 6x on the stem conv).  One transpose
+        # in, one out; XLA cancels adjacent out/in pairs between
+        # consecutive CHW blocks.  Same math, same variable tree.
+        if (self.kind == "regular" and self.dilation == 1 and self.fast
+                and not train and self.features <= 64):
+            n, h, w, c = x.shape
+            xt = x.reshape(n * h * w, c).T.astype(self.dtype)
+            y = ChwConvBNAct(mid, (1, 1), dtype=self.dtype,
+                             name="proj")(xt, (n, h, w))
+            y = ChwConvBNAct(mid, (3, 3), dtype=self.dtype,
+                             name="conv")(y, (n, h, w))
+            y = ChwConvBNAct(self.features, (1, 1), act=False,
+                             dtype=self.dtype, name="expand")(y, (n, h, w))
+            out = ChwPReLU(self.features, name="out_act")(y + xt)
+            return out.T.reshape(n, h, w, c), None
+
+        # CHW fast path for narrow "down" bottlenecks (inference): proj
+        # is s2d + a matmul, the 3x3/1x1s run transposed, and the
+        # pool-with-indices skip joins in (C, M) form.  Gated to
+        # features <= 64 — at 128 channels XLA's strided lowering is
+        # already near-free (measured, PERF.md round 2b).
+        if (self.kind == "down" and self.fast and not train
+                and self.features <= 64):
+            n, h, w, c = x.shape
+            h2, w2 = h // 2, w // 2
+            xp = space_to_depth(x)
+            xpt = xp.reshape(n * h2 * w2, 4 * c).T.astype(self.dtype)
+            y = ChwConvBNAct(mid, (2, 2), dtype=self.dtype,
+                             name="proj")(xpt, (n, h2, w2))
+            y = ChwConvBNAct(mid, (3, 3), dtype=self.dtype,
+                             name="conv")(y, (n, h2, w2))
+            y = ChwConvBNAct(self.features, (1, 1), act=False,
+                             dtype=self.dtype, name="expand")(y, (n, h2, w2))
+            pooled, new_idx = max_pool_with_indices(x)
+            skip_t = pooled.reshape(n * h2 * w2, c).T.astype(y.dtype)
+            if self.features > c:
+                skip_t = jnp.pad(skip_t, ((0, self.features - c), (0, 0)))
+            out = ChwPReLU(self.features, name="out_act")(y + skip_t)
+            return out.T.reshape(n, h2, w2, self.features), new_idx
+
+        # CHW phase fast path for "up" (inference): proj and skip_proj
+        # run transposed at the LOW resolution, the deconv emits the
+        # phase-major packed tensor, BN/PReLU/expand apply phase-aware in
+        # (4C, M) form, the unpooled skip is built directly in the phase
+        # domain from the encoder indices, and ONE transpose +
+        # depth-to-space emits the high-res NHWC output.
+        if self.kind == "up" and self.fast and not self.phase_up \
+                and not train:
+            if pool_idx is None:
+                raise ValueError("'up' bottleneck needs the matching "
+                                 "encoder pool indices")
+            n, h, w, c = x.shape
+            m = n * h * w
+            xt = x.reshape(m, c).T.astype(self.dtype)
+            y = ChwConvBNAct(mid, (1, 1), dtype=self.dtype,
+                             name="proj")(xt, (n, h, w))
+            z = ChwDeconv2xPhase(mid, dtype=self.dtype,
+                                 name="deconv")(y, (n, h, w))
+            z = ChwBatchNorm(mid, phases=4, dtype=self.dtype,
+                             name="deconv_bn")(z)
+            z = ChwPReLU(mid, phases=4, name="deconv_act")(z)
+            z = ChwPhaseExpand(self.features, dtype=self.dtype,
+                               name="expand")(z)                # (4C, M)
+            skip = ChwConvBNAct(self.features, (1, 1), act=False,
+                                dtype=self.dtype,
+                                name="skip_proj")(xt, (n, h, w))
+            idx_t = pool_idx.reshape(m, self.features).T        # (C, M)
+            zero = jnp.zeros((), skip.dtype)
+            skip_ph = jnp.concatenate(
+                [jnp.where(idx_t == p, skip, zero) for p in range(4)],
+                axis=0)                                          # (4C, M)
+            out = ChwPReLU(self.features, phases=4,
+                           name="out_act")(z + skip_ph)
+            out = out.T.reshape(n, h, w, 4 * self.features)
+            return depth_to_space(out), None
+
         # Phase-domain fast path for "up" (inference): the deconv's
         # pre-depth-to-space tensor stays packed — BN, PReLU, expand,
         # unpool-skip and the output PReLU all run at the LOW resolution
@@ -340,8 +585,11 @@ class Bottleneck(nn.Module):
 
         # -- main branch ----------------------------------------------------
         if self.kind == "down":
+            # fast s2d proj only at narrow widths — at 128 channels the
+            # plain strided conv measured faster (PERF.md round 2b)
             y = ConvBNAct(mid, (2, 2), strides=(2, 2), dtype=self.dtype,
-                          fast=self.fast, name="proj")(x, train)
+                          fast=self.fast and self.features <= 64,
+                          name="proj")(x, train)
         else:
             y = ConvBNAct(mid, (1, 1), dtype=self.dtype, name="proj")(x, train)
 
@@ -494,4 +742,6 @@ class ENet(nn.Module):
 
 __all__ = ["ENet", "InitialBlock", "Bottleneck", "PReLU", "PhasePReLU",
            "PhaseBatchNorm", "PhaseConv1x1", "PhaseExpand",
+           "ChwBatchNorm", "ChwPReLU", "ChwConv", "ChwConvBNAct",
+           "ChwDeconv2xPhase", "ChwPhaseConv1x1", "ChwPhaseExpand",
            "max_pool_with_indices", "max_unpool", "max_unpool_phase"]

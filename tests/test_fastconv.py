@@ -160,6 +160,95 @@ def test_initial_block_chw_path_parity():
         np.asarray(vf["batch_stats"]["BatchNorm_0"]["mean"]))
 
 
+@pytest.mark.parametrize("width", [16, 64])
+def test_regular_bottleneck_chw_path_parity(width):
+    from bugcar_image_segmentation_tpu.models.enet import Bottleneck
+
+    x = jax.random.normal(RNG, (2, 12, 20, width), jnp.float32)
+    slow = Bottleneck(width, "regular", dtype=jnp.float32, fast=False)
+    fast = Bottleneck(width, "regular", dtype=jnp.float32, fast=True)
+    v = slow.init(RNG, x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                fast.init(RNG, x, train=False)))
+    y_slow, _ = slow.apply(v, x, train=False)
+    y_fast, _ = fast.apply(v, x, train=False)
+    np.testing.assert_allclose(y_fast, y_slow, atol=2e-4, rtol=1e-4)
+
+
+def test_regular_bottleneck_chw_init_then_train_apply():
+    from bugcar_image_segmentation_tpu.models.enet import Bottleneck
+
+    x = jax.random.normal(RNG, (1, 8, 8, 16), jnp.float32)
+    mod = Bottleneck(16, "regular", dtype=jnp.float32, fast=True)
+    v = mod.init(RNG, x, train=False)      # traces the CHW branch
+    (y, _), mutated = mod.apply(
+        v, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)})
+    assert y.shape == x.shape
+    assert not np.allclose(
+        np.asarray(mutated["batch_stats"]["proj"]["BatchNorm_0"]["mean"]),
+        np.asarray(v["batch_stats"]["proj"]["BatchNorm_0"]["mean"]))
+
+
+def test_down_bottleneck_chw_path_parity():
+    from bugcar_image_segmentation_tpu.models.enet import Bottleneck
+
+    x = jax.random.normal(RNG, (2, 16, 24, 16), jnp.float32)
+    slow = Bottleneck(64, "down", dtype=jnp.float32, fast=False)
+    fast = Bottleneck(64, "down", dtype=jnp.float32, fast=True)
+    v = slow.init(RNG, x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                fast.init(RNG, x, train=False)))
+    y_slow, i_slow = slow.apply(v, x, train=False)
+    y_fast, i_fast = fast.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(i_fast), np.asarray(i_slow))
+    np.testing.assert_allclose(y_fast, y_slow, atol=2e-4, rtol=1e-4)
+
+
+def test_up_bottleneck_chw_path_parity():
+    # Default fast path: CHW phase domain (phase_up=False).
+    from bugcar_image_segmentation_tpu.models.enet import (
+        Bottleneck, max_pool_with_indices)
+
+    x_hi = jax.random.normal(RNG, (2, 16, 24, 16), jnp.float32)
+    _, idx = max_pool_with_indices(x_hi)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 12, 64),
+                          jnp.float32)
+    slow = Bottleneck(16, "up", dtype=jnp.float32, fast=False)
+    fast = Bottleneck(16, "up", dtype=jnp.float32, fast=True)
+    v = slow.init(RNG, x, train=False, pool_idx=idx)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                fast.init(RNG, x, train=False, pool_idx=idx)))
+    y_slow, _ = slow.apply(v, x, train=False, pool_idx=idx)
+    y_fast, _ = fast.apply(v, x, train=False, pool_idx=idx)
+    np.testing.assert_allclose(y_fast, y_slow, atol=2e-4, rtol=1e-4)
+
+
+def test_down_up_chw_init_then_train_apply():
+    from bugcar_image_segmentation_tpu.models.enet import (
+        Bottleneck, max_pool_with_indices)
+
+    # down: init traces CHW, train apply traces textbook — same tree
+    x = jax.random.normal(RNG, (1, 8, 8, 16), jnp.float32)
+    down = Bottleneck(64, "down", dtype=jnp.float32, fast=True)
+    v = down.init(RNG, x, train=False)
+    (y, idx), _ = down.apply(v, x, train=True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(0)})
+    assert y.shape == (1, 4, 4, 64)
+    # up likewise
+    x_hi = jax.random.normal(RNG, (1, 8, 8, 16), jnp.float32)
+    _, idx1 = max_pool_with_indices(x_hi)
+    up = Bottleneck(16, "up", dtype=jnp.float32, fast=True)
+    vu = up.init(RNG, jnp.zeros((1, 4, 4, 64)), train=False, pool_idx=idx1)
+    (yu, _), _ = up.apply(vu, jnp.zeros((1, 4, 4, 64)), train=True,
+                          pool_idx=idx1, mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+    assert yu.shape == (1, 8, 8, 16)
+
+
 def test_up_bottleneck_phase_path_parity():
     # The phase-domain up-bottleneck (inference fast path) must match the
     # textbook lowering bit-for-bit-ish at f32, from the SAME variables.
