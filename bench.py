@@ -80,49 +80,57 @@ def main() -> None:
     fps = float(np.median(trials))
     best_fps = max(trials)
 
-    # Device-side rate: 50 pipeline iterations inside ONE lax.scan program
-    # (a single dispatch), so not even dispatch RPCs traverse the tunnel —
-    # this is what co-located hardware would sustain.  Each iteration
-    # perturbs the frame with the loop index to defeat loop-invariant
-    # code motion.
+    # Device-side rate: N pipeline iterations inside ONE lax.scan program
+    # (a single dispatch), timed at TWO iteration counts; the per-frame
+    # time is the SLOPE, so the tunnel's fixed dispatch+sync overhead
+    # (~35 ms, which a single timing would smear into every frame)
+    # cancels exactly.  This is what co-located hardware would sustain.
+    # Each iteration perturbs the frame with the loop index to defeat
+    # loop-invariant code motion.
     import jax.numpy as jnp
 
     dev_frame = pipe._prep(host_frames[0])
 
-    @jax.jit
-    def run_scan(variables, frame):
+    def run_scan(variables, frame, n):
         def body(carry, i):
             f = frame ^ i.astype(frame.dtype)   # defeat CSE/LICM
             grid, _ = pipe._run_impl(variables, f)
             return carry, grid
 
         _, grids = jax.lax.scan(body, 0,
-                                jnp.arange(50, dtype=jnp.uint8))
+                                jnp.arange(n, dtype=jnp.uint8))
         return grids[-1]
 
-    jax.block_until_ready(run_scan(engine.variables, dev_frame))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run_scan(engine.variables, dev_frame))
-    dev_fps = 50 / (time.perf_counter() - t0)
+    def scan_slope(fn, *args, n_lo=50, n_hi=150, per_iter=1):
+        ts = []
+        for n in (n_lo, n_hi):
+            f = jax.jit(lambda *a, n=n: fn(*a, n))
+            jax.block_until_ready(f(*args))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(*args))
+                best = min(best, time.perf_counter() - t0)
+            ts.append(best)
+        return (n_hi - n_lo) * per_iter / (ts[1] - ts[0])
+
+    dev_fps = scan_slope(run_scan, engine.variables, dev_frame)
 
     # Batched device-side rate: the streaming path ships 4 frames per put
     # and runs the vmapped program, so per-op fixed costs amortize — this
     # is the device throughput ceiling behind the sustained headline.
     batch = jnp.stack([dev_frame] * tb)
 
-    @jax.jit
-    def run_scan_batch(variables, frames):
+    def run_scan_batch(variables, frames, n):
         def body(carry, i):
             f = frames ^ i.astype(frames.dtype)
             grids = jax.vmap(lambda fr: pipe._run_impl(variables, fr)[0])(f)
             return carry, grids
-        _, gs = jax.lax.scan(body, 0, jnp.arange(25, dtype=jnp.uint8))
+        _, gs = jax.lax.scan(body, 0, jnp.arange(n, dtype=jnp.uint8))
         return gs[-1]
 
-    jax.block_until_ready(run_scan_batch(engine.variables, batch))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run_scan_batch(engine.variables, batch))
-    dev_fps_b = 25 * tb / (time.perf_counter() - t0)
+    dev_fps_b = scan_slope(run_scan_batch, engine.variables, batch,
+                           n_lo=25, n_hi=75, per_iter=tb)
 
     print(f"[bench] sustained trials {[round(t, 1) for t in trials]} fps "
           f"(median {fps:.1f}, best {best_fps:.1f}); "
