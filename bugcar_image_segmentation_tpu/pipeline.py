@@ -18,12 +18,13 @@ keeps ``depth`` frames in flight, so host preprocessing/IO of frame N+1
 overlaps device compute of frame N — the explicit producer/consumer the
 reference never had.
 
-Multi-camera (BASELINE.json config 4): per-camera homography taps are
-stacked into one leading axis, the backbone runs the cameras as a batch,
-the grid build is ``vmap``-ed, and the per-camera grids max-merge into one
-vehicle grid (occupied=100 > free=0 > unknown=-1, so elementwise max is
-the correct evidence merge).  Across chips the same program shards by
-camera with ``shard_map`` (parallel/).
+Multi-camera (BASELINE.json config 4): the backbone runs the cameras as
+a batch, the grid builds unroll per camera (constant-index gathers; the
+vmapped/batched-gather form measured 2.4x slower, PERF.md round 2b), and
+the per-camera grids max-merge into one vehicle grid (occupied=100 >
+free=0 > unknown=-1, so elementwise max is the correct evidence merge).
+Across chips the same program shards by camera with ``shard_map``
+(parallel/), one camera per chip.
 """
 
 from __future__ import annotations
@@ -264,9 +265,10 @@ class MultiCameraPipeline:
 
     BASELINE.json config 4.  Each camera has its own calibration (its own
     homography into the shared vehicle BEV frame); frames run through the
-    backbone as one batch (so the MXU sees batch=N convs), the grid build
-    is vmapped over stacked warp taps, and the per-camera grids merge by
-    elementwise max.
+    backbone as one batch (so the MXU sees batch=N convs), the grid
+    builds unroll per camera (constant-index gathers — measured 2.4x
+    faster than the vmapped/batched-gather form, PERF.md round 2b), and
+    the per-camera grids merge by elementwise max.
     """
 
     def __init__(self,
@@ -283,27 +285,28 @@ class MultiCameraPipeline:
         if len({(b.geom.cells_h, b.geom.cells_w)
                 for b in self.builders}) != 1:
             raise ValueError("all cameras must share the grid geometry")
-        # Stacked per-camera warp taps + one vmapped grid-build body — the
-        # same code path the sharded variant runs per chip
-        # (parallel/multicam.py), so local and distributed stay in lockstep.
-        from .grid import build_grids_vmapped, stack_camera_taps
+        # Stacked taps kept for the sharded variant (parallel/multicam.py);
+        # the LOCAL build unrolls one grid program per camera instead of
+        # vmapping over them: a vmapped warp becomes a batched gather,
+        # which XLA lowers ~2.4x slower than four constant-index gathers
+        # (4-cam grid build 4.61 -> 1.91 ms, measured on the bench v5e —
+        # PERF.md round 2b).  Per-chip the sharded path holds one camera,
+        # so its size-1 vmap does not hit the batched lowering.
+        from .grid import stack_camera_taps
         self._idx, self._wts, self._taps_static = stack_camera_taps(
             self.builders)
 
-        def run(variables: dict, frames_bgr: jax.Array,
-                idx: jax.Array, wts: jax.Array) -> jax.Array:
+        def run(variables: dict, frames_bgr: jax.Array) -> jax.Array:
             logits = engine._forward(variables, frames_bgr)
             segs = remap.logits_to_drivability(logits, engine.remap_table)
-            grids = build_grids_vmapped(self.builders[0], self._taps_static,
-                                        segs, idx, wts)
-            return stitch_grids(grids)
+            grids = [b.build(segs[k]) for k, b in enumerate(self.builders)]
+            return stitch_grids(jnp.stack(grids))
 
         self._run = jax.jit(run)
 
     def __call__(self, frames_bgr) -> jax.Array:
         """(N_cam, H, W, 3) uint8 BGR → stitched int8 grid."""
-        return self._run(self.engine.variables, jnp.asarray(frames_bgr),
-                         self._idx, self._wts)
+        return self._run(self.engine.variables, jnp.asarray(frames_bgr))
 
 
 def stitch_grids(grids: jax.Array) -> jax.Array:
