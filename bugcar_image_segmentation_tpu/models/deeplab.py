@@ -34,9 +34,31 @@ class ConvBN(nn.Module):
     act: bool = True
     relu6: bool = True  # MobileNetV2 uses ReLU6; Xception plain ReLU.
     dtype: Any = jnp.bfloat16
+    # CHW inference path for the RGB stem (3->C stride-2 conv).  Default
+    # OFF: it won 6x on ENet's (256,512)->16ch stem but measured the
+    # whole DeepLab forward 2.13 -> 2.65 ms at (512,1024)->32ch — the
+    # (32, 131k) transpose back to NHWC (~8 MB relayout) outweighs the
+    # conv saving at this scale (PERF.md round 2b).  Kept parity-tested
+    # for smaller stems.
+    fast_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if (self.fast_stem and not train and self.kernel == (3, 3)
+                and self.strides == (2, 2) and self.groups == 1):
+            from .enet import ChwBatchNorm
+            from .fastconv import FastStemConv2x
+            n, h, w, _ = x.shape
+            y = FastStemConv2x(self.features, dtype=self.dtype,
+                               name="Conv_0")(x, chw_out=True)
+            y = ChwBatchNorm(self.features, epsilon=1e-3,
+                             dtype=self.dtype, name="BatchNorm_0")(y)
+            if self.act:
+                y = jnp.maximum(y, 0)
+                if self.relu6:
+                    y = jnp.minimum(y, 6)
+            return y.T.reshape(n, h // 2, w // 2, self.features)
+
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
                     kernel_dilation=self.dilation, padding="SAME",
                     feature_group_count=self.groups, use_bias=False,

@@ -291,6 +291,25 @@ def test_up_bottleneck_phase_init_then_train_apply():
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+def test_deeplab_convbn_fast_stem_parity():
+    from bugcar_image_segmentation_tpu.models.deeplab import ConvBN
+
+    x = jax.random.normal(RNG, (2, 16, 24, 3), jnp.float32)
+    slow = ConvBN(32, (3, 3), strides=(2, 2), dtype=jnp.float32)
+    fast = ConvBN(32, (3, 3), strides=(2, 2), dtype=jnp.float32,
+                  fast_stem=True)
+    v = slow.init(RNG, x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                fast.init(RNG, x, train=False)))
+    y_slow = slow.apply(v, x, train=False)
+    y_fast = fast.apply(v, x, train=False)
+    np.testing.assert_allclose(y_fast, y_slow, atol=2e-4, rtol=1e-4)
+    # train apply on the fast-initialized tree uses the textbook modules
+    _, mutated = fast.apply(v, x, train=True, mutable=["batch_stats"])
+    assert "BatchNorm_0" in mutated["batch_stats"]
+
+
 def test_fast_path_differentiable():
     # The fast lowering trains: grads flow through the kernel re-indexing.
     x = jax.random.normal(RNG, (1, 8, 8, 4), jnp.float32)
