@@ -187,6 +187,64 @@ class FastStemConv2x(nn.Module):
         return y
 
 
+def space_to_depth4(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) → (N, H/4, W/4, 16C); channel layout (row-phase,
+    col-phase, C), phases row-major 0..3."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 4, 4, w // 4, 4, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 4, w // 4, 16 * c)
+
+
+class FastStemConv4x(nn.Module):
+    """Drop-in for ``nn.Conv(features, (7, 7), strides=(4, 4),
+    padding='SAME')`` (H, W divisible by 4): a 3x3 stride-1 conv over the
+    4x4 space-to-depth phases.  Exact derivation: with ``X[q, r] =
+    x[4q+r]``, ``y[p] = Σ_i x[4p+i-1] W[i]`` becomes ``Σ_{a,r}
+    X[p+a, r] W[4a+r+1]`` with a ∈ {-1,0,1} — i.e. W2[a, b, (r,s,ci),
+    co] = W[4a+r+1, 4b+s+1] (zero out of range) under SAME (1,1)
+    padding, reproducing the original pad-lo-1/hi-2 exactly.  Same param
+    tree as the stock conv.  This is SegFormer's stage-1 overlapped patch
+    embed (models/segformer.py), a measured 1.3 ms hotspot on RGB at
+    1024² (PERF.md)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if x.shape[1] % 4 or x.shape[2] % 4:
+            raise ValueError(
+                f"FastStemConv4x needs H, W divisible by 4; got {x.shape}")
+        cin = x.shape[-1]
+        kernel = self.param("kernel", initializers.lecun_normal(),
+                            (7, 7, cin, self.features), jnp.float32)
+        # W2[a, b, (r, s, ci), co] = W[4a+r+1, 4b+s+1]; index via a
+        # zero-padded copy so out-of-range taps vanish.
+        wp = jnp.pad(kernel, ((1, 4), (1, 4), (0, 0), (0, 0)))
+        rows = []
+        for a in (0, 1, 2):                    # a-1 ∈ {-1, 0, 1}
+            cols = []
+            for b in (0, 1, 2):
+                blocks = [wp[4 * a + r - 2, 4 * b + s - 2]
+                          if 0 <= 4 * a + r - 2 < 11
+                          and 0 <= 4 * b + s - 2 < 11
+                          else jnp.zeros_like(kernel[0, 0])
+                          for r in range(4) for s in range(4)]
+                cols.append(jnp.stack(blocks, axis=0))   # (16, ci, co)
+            rows.append(jnp.stack(cols, axis=0))         # (3, 16, ci, co)
+        w2 = jnp.stack(rows, axis=0)                     # (3, 3, 16, ci, co)
+        w2 = w2.reshape(3, 3, 16 * cin, self.features)
+        y = lax.conv_general_dilated(
+            space_to_depth4(x).astype(self.dtype), w2.astype(self.dtype),
+            (1, 1), ((1, 1), (1, 1)), dimension_numbers=_DN)
+        if self.use_bias:
+            bias = self.param("bias", initializers.zeros_init(),
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class FastDownConv2x(nn.Module):
     """Drop-in for ``nn.Conv(features, (2, 2), strides=(2, 2),
     padding='SAME', use_bias=False)`` (even H, W ⇒ SAME adds no padding);
@@ -224,4 +282,5 @@ class FastDownConv2x(nn.Module):
 
 
 __all__ = ["FastConvTranspose2x", "FastDownConv2x", "FastStemConv2x",
-           "space_to_depth", "depth_to_space"]
+           "FastStemConv4x", "space_to_depth", "space_to_depth4",
+           "depth_to_space"]

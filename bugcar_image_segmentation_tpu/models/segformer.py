@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..ops.pallas.attention import flash_attention
 from ..ops.quant import Int8Dense
+from .fastconv import FastStemConv2x, FastStemConv4x
 
 
 def _dense(features: int, *, quant: bool, dtype: Any, name: str):
@@ -41,7 +42,12 @@ def _dense(features: int, *, quant: bool, dtype: Any, name: str):
 
 
 class OverlapPatchEmbed(nn.Module):
-    """Strided-conv patch embedding (k7s4 for stage 1, k3s2 after)."""
+    """Strided-conv patch embedding (k7s4 for stage 1, k3s2 after).
+
+    The strided convs run phase-packed (fastconv.py: k7s4 as a 3x3 conv
+    over 4x4 space-to-depth, k3s2 as a 2x2 conv over 2x2 s2d — exact
+    same math and param trees): the stage-1 embed on 1024² RGB was a
+    measured 1.3 ms hotspot in the stock strided lowering (PERF.md)."""
 
     features: int
     kernel: int
@@ -50,9 +56,17 @@ class OverlapPatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        if (self.kernel, self.stride) == (7, 4):
+            x = FastStemConv4x(self.features, use_bias=True,
+                               dtype=self.dtype, name="Conv_0")(x)
+        elif (self.kernel, self.stride) == (3, 2):
+            x = FastStemConv2x(self.features, use_bias=True,
+                               dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride), padding="SAME",
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="Conv_0")(x)
         return nn.LayerNorm(dtype=jnp.float32,
                             param_dtype=jnp.float32)(x).astype(self.dtype)
 

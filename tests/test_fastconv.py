@@ -76,6 +76,49 @@ def test_stem_parity():
     np.testing.assert_allclose(fast.apply(v, x), ref.apply(v, x), atol=1e-5)
 
 
+def test_stem4x_parity():
+    from bugcar_image_segmentation_tpu.models.fastconv import FastStemConv4x
+
+    x = jax.random.normal(RNG, (2, 24, 32, 3), jnp.float32)
+    ref = nn.Conv(16, (7, 7), strides=(4, 4), padding="SAME",
+                  dtype=jnp.float32, param_dtype=jnp.float32)
+    fast = FastStemConv4x(16, dtype=jnp.float32)
+    v = ref.init(RNG, x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(fast.init(RNG, x)))
+    np.testing.assert_allclose(fast.apply(v, x), ref.apply(v, x),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_stem4x_rejects_bad_input():
+    from bugcar_image_segmentation_tpu.models.fastconv import FastStemConv4x
+
+    fast = FastStemConv4x(8, dtype=jnp.float32)
+    v = fast.init(RNG, jnp.zeros((1, 16, 16, 3), jnp.float32))
+    with pytest.raises(ValueError, match="divisible by 4"):
+        fast.apply(v, jnp.zeros((1, 18, 16, 3), jnp.float32))
+
+
+def test_segformer_patch_embed_parity():
+    # The packed embeds must match the stock strided convs from the same
+    # variables (k7s4 stage-1 and k3s2 later stages).
+    from bugcar_image_segmentation_tpu.models.segformer import (
+        OverlapPatchEmbed)
+
+    for (k, s, cin) in ((7, 4, 3), (3, 2, 32)):
+        x = jax.random.normal(RNG, (1, 16, 24, cin), jnp.float32)
+        emb = OverlapPatchEmbed(16, k, s, dtype=jnp.float32)
+        v = emb.init(RNG, x)
+        conv_ref = nn.Conv(16, (k, k), strides=(s, s), padding="SAME",
+                           dtype=jnp.float32, param_dtype=jnp.float32)
+        ref = conv_ref.apply({"params": v["params"]["Conv_0"]}, x)
+        ln = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)
+        ref = ln.apply({"params": v["params"]["LayerNorm_0"]}, ref)
+        got = emb.apply(v, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-5)
+
+
 def test_down_conv_parity():
     from bugcar_image_segmentation_tpu.models.fastconv import FastDownConv2x
 
