@@ -112,7 +112,13 @@ def main() -> None:
                 jax.block_until_ready(f(*args))
                 best = min(best, time.perf_counter() - t0)
             ts.append(best)
-        return (n_hi - n_lo) * per_iter / (ts[1] - ts[0])
+        # Tunnel timing noise can make the hi-count run read no slower
+        # than the lo-count run; a raw difference would print a
+        # negative/inf fps (ADVICE r2).  Guard and report NaN instead.
+        dt = ts[1] - ts[0]
+        if dt <= 0:
+            return float("nan")
+        return (n_hi - n_lo) * per_iter / dt
 
     dev_fps = scan_slope(run_scan, engine.variables, dev_frame)
 

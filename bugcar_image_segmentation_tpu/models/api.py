@@ -184,10 +184,11 @@ def build_engine(name: str = "enet",
                                  input_height=512, num_classes=15)
         module = Xception65DeepLab(num_classes=cfg.num_classes,
                                    dtype=jnp.dtype(cfg.dtype))
-    elif name == "segformer" or name.startswith("segformer_b"):
+    elif name == "segformer" or name.startswith("segformer_"):
         from .segformer import SEGFORMER_PRESETS, SegFormer
-        # "segformer", "segformer_b2", "segformer_b2_int8" (W8A8 MXU path —
-        # same param tree as the float variant, see ops/quant.py).
+        # "segformer", "segformer_b2", "segformer_b2_int8", and bare
+        # "segformer_int8" (= B0 + int8; W8A8 MXU path — same param tree
+        # as the float variant, see ops/quant.py).
         quant = name.endswith("_int8")
         base = name[:-len("_int8")] if quant else name
         size = base.split("_", 1)[1] if "_" in base else "b0"

@@ -241,6 +241,11 @@ class ChwConv(nn.Module):
     def __call__(self, xt: jax.Array,
                  nhw: Tuple[int, int, int]) -> jax.Array:
         kh, kw = self.kernel
+        if (kh, kw) not in ((1, 1), (2, 2), (3, 3)):
+            # Validate BEFORE self.param so an unsupported kernel never
+            # registers a param of that shape (ADVICE r2).
+            raise ValueError(f"ChwConv supports 1x1/2x2-down/3x3, "
+                             f"got {self.kernel}")
         cin = xt.shape[0]
         dt = jnp.dtype(self.dtype)
         if (kh, kw) == (2, 2):
@@ -262,9 +267,6 @@ class ChwConv(nn.Module):
             y = jax.lax.dot(wt.astype(dt), xt.astype(dt),
                             preferred_element_type=jnp.float32)
         else:
-            if (kh, kw) != (3, 3):
-                raise ValueError(f"ChwConv supports 1x1/2x2-down/3x3, "
-                                 f"got {self.kernel}")
             n, h, w = nhw
             x4 = xt.reshape(cin, n, h, w)
             xp = jnp.pad(x4, ((0, 0), (0, 0), (1, 1), (1, 1)))
@@ -501,7 +503,11 @@ class Bottleneck(nn.Module):
         # in, one out; XLA cancels adjacent out/in pairs between
         # consecutive CHW blocks.  Same math, same variable tree.
         if (self.kind == "regular" and self.dilation == 1 and self.fast
-                and not train and self.features <= 64):
+                and not train and self.features <= 64
+                and self.features == x.shape[-1]):
+            # features == Cin gate: the residual add below assumes the
+            # identity skip matches (always true in ENet; defense in
+            # depth per ADVICE r2).
             n, h, w, c = x.shape
             xt = x.reshape(n * h * w, c).T.astype(self.dtype)
             y = ChwConvBNAct(mid, (1, 1), dtype=self.dtype,

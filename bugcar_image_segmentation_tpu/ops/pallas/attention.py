@@ -107,18 +107,17 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     vf = v.reshape(b * h, nkv, d)
     grid = (b * h, nq // bq, nkv // bkv)
 
-    if pltpu is not None:
-        scratch = [
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ]
-    else:  # pragma: no cover - CPU-only fallback
-        scratch = [
-            pl.MemorySpace.ANY((bq, 1), jnp.float32),
-            pl.MemorySpace.ANY((bq, 1), jnp.float32),
-            pl.MemorySpace.ANY((bq, d), jnp.float32),
-        ]
+    # pltpu is importable on CPU-only installs (interpret mode uses it
+    # for the VMEM scratch specs); see the same note in bottleneck.py.
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError(
+            "jax.experimental.pallas.tpu unavailable — flash_attention "
+            "requires it even in interpret mode")
+    scratch = [
+        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, d), jnp.float32),
+    ]
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, kv_blocks=grid[2]),
@@ -134,6 +133,105 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, nq, d)
+
+
+def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                   *, scale: float, kv_blocks: int):
+    """Transposed-operand twin of :func:`_attn_kernel`.
+
+    Operands arrive channels-on-sublanes / tokens-on-lanes: q (d, bq),
+    k/v (d, bkv).  The whole recurrence mirrors: scores live as
+    (bkv, bq) = kᵀq, the softmax max/denominator reduce over axis 0
+    (sublanes — cheaper than the standard kernel's lane reductions),
+    and the PV accumulation is a STRAIGHT matmul v @ p with no operand
+    transpose.  Output (d, bq) — so a (C, pixels)-layout caller (the
+    CHW SegFormer stage, models/segformer.py) never relayouts the
+    65k-token activation on the way in or out."""
+    kv_step = pl.program_id(2)
+
+    @pl.when(kv_step == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale          # (d, bq)
+    k = k_ref[0].astype(jnp.float32)                  # (d, bkv)
+    v = v_ref[0].astype(jnp.float32)                  # (d, bkv)
+
+    s = jax.lax.dot_general(k, q, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (bkv, bq)
+
+    m_prev = m_ref[:]                                  # (1, bq)
+    m_cur = jnp.max(s, axis=0, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                             # (bkv, bq)
+
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        v, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(kv_step == kv_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_kv",
+                                             "interpret"))
+def flash_attention_t(q: jax.Array, k: jax.Array, v: jax.Array,
+                      block_q: int = 512, block_kv: int = 256,
+                      interpret: Optional[bool] = None) -> jax.Array:
+    """:func:`flash_attention` over TRANSPOSED operands.
+
+    Args:
+      q: (B, H, d, Nq) — head channels on the sublane dim, tokens on the
+        lane dim (the (C, pixels) orientation; PERF.md round 2b).
+      k/v: (B, H, d, Nkv).
+
+    Returns:
+      (B, H, d, Nq) in q's dtype.  Same math as ``flash_attention`` on
+      the transposed inputs (tested against it bit-for-bit on CPU).
+    """
+    b, h, d, nq = q.shape
+    nkv = k.shape[3]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    bq = _pick_block(nq, block_q)
+    bkv = _pick_block(nkv, block_kv)
+    scale = 1.0 / math.sqrt(d)
+
+    qf = q.reshape(b * h, d, nq)
+    kf = k.reshape(b * h, d, nkv)
+    vf = v.reshape(b * h, d, nkv)
+    grid = (b * h, nq // bq, nkv // bkv)
+
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError(
+            "jax.experimental.pallas.tpu unavailable — flash_attention_t "
+            "requires it even in interpret mode")
+    scratch = [
+        pltpu.VMEM((1, bq), jnp.float32),
+        pltpu.VMEM((1, bq), jnp.float32),
+        pltpu.VMEM((d, bq), jnp.float32),
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_t, scale=scale, kv_blocks=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, bq), lambda bh, i, j: (bh, 0, i)),
+            pl.BlockSpec((1, d, bkv), lambda bh, i, j: (bh, 0, j)),
+            pl.BlockSpec((1, d, bkv), lambda bh, i, j: (bh, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, d, bq), lambda bh, i, j: (bh, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, nq), q.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, d, nq)
 
 
 def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array

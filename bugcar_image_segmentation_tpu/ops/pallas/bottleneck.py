@@ -175,10 +175,15 @@ def fused_bottleneck(x: jax.Array,
 
     scratch_shape = (h + 2 * d, w + 2 * d, mid)
     scratch_dt = x.dtype
-    if pltpu is not None:
-        scratch = [pltpu.VMEM(scratch_shape, scratch_dt)]
-    else:  # pragma: no cover - CPU-only fallback
-        scratch = [pl.MemorySpace.ANY(scratch_shape, scratch_dt)]
+    # pltpu is importable on CPU-only installs too (interpret mode uses
+    # it for the VMEM scratch spec); a missing import means a broken JAX
+    # install, not a supported configuration (ADVICE r2: the old
+    # MemorySpace.ANY fallback was never exercised and version-fragile).
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError(
+            "jax.experimental.pallas.tpu unavailable — fused_bottleneck "
+            "requires it even in interpret mode")
+    scratch = [pltpu.VMEM(scratch_shape, scratch_dt)]
 
     vecs1 = (_vec(s1), _vec(b1), _vec(a1))
     vecs2 = (_vec(s2), _vec(b2), _vec(a2))

@@ -210,6 +210,27 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5)
 
+    @pytest.mark.parametrize("nq,nkv,bq,bkv", [
+        (128, 128, 64, 64),
+        (128, 96, 64, 32),
+        (100, 80, 64, 32),
+    ])
+    def test_transposed_matches_naive(self, rng, nq, nkv, bq, bkv):
+        # flash_attention_t takes/returns (B, H, d, N) — the (C, pixels)
+        # orientation of the CHW SegFormer stage.
+        from bugcar_image_segmentation_tpu.ops.pallas.attention import (
+            flash_attention_t)
+        q = jnp.asarray(rng.normal(size=(2, 2, nq, 32)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 2, nkv, 32)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 2, nkv, 32)).astype(np.float32))
+        out_t = flash_attention_t(q.transpose(0, 1, 3, 2),
+                                  k.transpose(0, 1, 3, 2),
+                                  v.transpose(0, 1, 3, 2),
+                                  block_q=bq, block_kv=bkv)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out_t.transpose(0, 1, 3, 2)),
+                                   np.asarray(ref), atol=2e-5)
+
     def test_extreme_logits_stable(self):
         # Online softmax must survive large score magnitudes.
         q = jnp.full((1, 1, 64, 16), 30.0, jnp.float32)
