@@ -151,6 +151,35 @@ def find_intersection_line(line1: Sequence[Sequence[float]],
     return np.linalg.solve(coeff, np.array([c1, c2]))
 
 
+def corners_from_edge_lines(lines: Sequence[Sequence[Sequence[float]]]
+                            ) -> np.ndarray:
+    """Locate the 4 fiducial-tile corners from its 4 edge lines.
+
+    The reference's calibration flow found tile corners by intersecting
+    detected edge lines (image_processing_utils.py:63-91 feeding the
+    missing calibration script; SURVEY.md §3.2) — this is the execution
+    path for that capability.  ``lines``: 4 lines in order around the
+    tile (e.g. top, right, bottom, left), each given by two points
+    ((x1, y1), (x2, y2)).  Corner ``i`` is the intersection of line
+    ``i`` and line ``(i+1) % 4``.
+
+    Returns a (4, 2) float array; raises ValueError if any consecutive
+    pair is parallel (no corner).
+    """
+    lines = [np.asarray(l, dtype=np.float64) for l in lines]
+    if len(lines) != 4:
+        raise ValueError(f"need exactly 4 edge lines, got {len(lines)}")
+    corners = []
+    for i in range(4):
+        pt = find_intersection_line(lines[i], lines[(i + 1) % 4])
+        if pt is None:
+            raise ValueError(
+                f"edge lines {i} and {(i + 1) % 4} are parallel — "
+                f"no corner")
+        corners.append(pt)
+    return np.stack(corners)
+
+
 # ---------------------------------------------------------------------------
 # BEV corner construction (calibration core)
 # ---------------------------------------------------------------------------
@@ -227,6 +256,7 @@ __all__ = [
     "apply_homography",
     "order_points_counter_clockwise",
     "find_intersection_line",
+    "corners_from_edge_lines",
     "bev_tile_corners",
     "calculate_transform_matrix",
 ]

@@ -212,7 +212,12 @@ class FastStemConv4x(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, chw_out: bool = False) -> jax.Array:
+        """``chw_out=True`` returns the TRANSPOSED result (features,
+        N*H/4*W/4) via a 9-tap concat + one dense matmul — the dot folds
+        the transpose, so a (C, pixels)-layout consumer (the CHW
+        SegFormer stage 1) starts transposed for free (cf.
+        FastStemConv2x.chw_out; PERF.md round 2b)."""
         if x.shape[1] % 4 or x.shape[2] % 4:
             raise ValueError(
                 f"FastStemConv4x needs H, W divisible by 4; got {x.shape}")
@@ -235,6 +240,25 @@ class FastStemConv4x(nn.Module):
             rows.append(jnp.stack(cols, axis=0))         # (3, 16, ci, co)
         w2 = jnp.stack(rows, axis=0)                     # (3, 3, 16, ci, co)
         w2 = w2.reshape(3, 3, 16 * cin, self.features)
+
+        if chw_out:
+            xp4 = space_to_depth4(x)
+            n, h4, w4, c16 = xp4.shape
+            cp = jnp.pad(xp4, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            taps = [cp[:, a:a + h4, b:b + w4, :]
+                    for a in range(3) for b in range(3)]
+            x144 = jnp.concatenate(taps, axis=-1)       # (n, h4, w4, 9*c16)
+            xt = x144.reshape(n * h4 * w4, 9 * c16).T
+            wt = w2.reshape(9 * c16, self.features).T   # (co, (a,b,rs,ci))
+            y = lax.dot(wt.astype(self.dtype), xt.astype(self.dtype),
+                        preferred_element_type=jnp.float32)
+            y = y.astype(self.dtype)                    # (features, N*H4*W4)
+            if self.use_bias:
+                bias = self.param("bias", initializers.zeros_init(),
+                                  (self.features,), jnp.float32)
+                y = y + bias.astype(y.dtype)[:, None]
+            return y
+
         y = lax.conv_general_dilated(
             space_to_depth4(x).astype(self.dtype), w2.astype(self.dtype),
             (1, 1), ((1, 1), (1, 1)), dimension_numbers=_DN)

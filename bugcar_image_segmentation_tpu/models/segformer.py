@@ -22,14 +22,15 @@ TPU-first specifics:
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.attention import flash_attention
+from ..ops.pallas.attention import flash_attention, flash_attention_t
 from ..ops.quant import Int8Dense
+from .chw import ChwDense, ChwDepthwise3x3, ChwLayerNorm, ChwSrConv
 from .fastconv import FastStemConv2x, FastStemConv4x
 
 
@@ -55,7 +56,29 @@ class OverlapPatchEmbed(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, chw_out: bool = False) -> jax.Array:
+        """``chw_out=True`` (inference CHW stages) emits the TRANSPOSED
+        (features, N*H'*W') embedding — the phase-packed convs produce
+        that orientation natively, and the embed LayerNorm runs
+        transposed too.  Identical param tree either way."""
+        if chw_out:
+            if (self.kernel, self.stride) == (7, 4):
+                xt = FastStemConv4x(self.features, use_bias=True,
+                                    dtype=self.dtype, name="Conv_0")(
+                                        x, chw_out=True)
+            elif (self.kernel, self.stride) == (3, 2):
+                xt = FastStemConv2x(self.features, use_bias=True,
+                                    dtype=self.dtype, name="Conv_0")(
+                                        x, chw_out=True)
+            else:
+                y = nn.Conv(self.features, (self.kernel, self.kernel),
+                            strides=(self.stride, self.stride),
+                            padding="SAME", dtype=self.dtype,
+                            param_dtype=jnp.float32, name="Conv_0")(x)
+                n_, h_, w_, c_ = y.shape
+                xt = y.reshape(n_ * h_ * w_, c_).T
+            return ChwLayerNorm(self.features, dtype=self.dtype,
+                                name="LayerNorm_0")(xt)
         if (self.kernel, self.stride) == (7, 4):
             x = FastStemConv4x(self.features, use_bias=True,
                                dtype=self.dtype, name="Conv_0")(x)
@@ -67,8 +90,8 @@ class OverlapPatchEmbed(nn.Module):
                         strides=(self.stride, self.stride), padding="SAME",
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name="Conv_0")(x)
-        return nn.LayerNorm(dtype=jnp.float32,
-                            param_dtype=jnp.float32)(x).astype(self.dtype)
+        return nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+                            name="LayerNorm_0")(x).astype(self.dtype)
 
 
 class EfficientAttention(nn.Module):
@@ -81,10 +104,45 @@ class EfficientAttention(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
-        n, l, c = x.shape
+    def __call__(self, x: jax.Array, hw: Tuple[int, int],
+                 chw_n: Optional[int] = None) -> jax.Array:
         h, w = hw
         head_dim = self.dim // self.num_heads
+
+        if chw_n is not None:
+            # Transposed path: x is (C, N*H*W).  Projections are
+            # (C_out, C_in) x (C_in, M) matmuls (full-width MXU at any
+            # C), the SR conv is a CHW space-to-depth + one matmul, and
+            # attention runs through the TRANSPOSED Pallas kernel — the
+            # 65k-token activation never changes layout end to end.
+            n = chw_n
+            l = h * w
+            q = ChwDense(self.dim, quant=self.quant, dtype=self.dtype,
+                         name="q")(x)
+            kv_in, lkv = x, l
+            if self.sr_ratio > 1:
+                r = self.sr_ratio
+                kv_in = ChwSrConv(self.dim, r, dtype=self.dtype,
+                                  name="sr")(x, (n, h, w))
+                kv_in = ChwLayerNorm(self.dim, dtype=self.dtype,
+                                     name="sr_norm")(kv_in)
+                lkv = (h // r) * (w // r)
+            k = ChwDense(self.dim, quant=self.quant, dtype=self.dtype,
+                         name="k")(kv_in)
+            v = ChwDense(self.dim, quant=self.quant, dtype=self.dtype,
+                         name="v")(kv_in)
+
+            def split_t(t, tokens):
+                return t.reshape(self.num_heads, head_dim, n,
+                                 tokens).transpose(2, 0, 1, 3)
+
+            out = flash_attention_t(split_t(q, l), split_t(k, lkv),
+                                    split_t(v, lkv))     # (n, H, d, l)
+            out = out.transpose(1, 2, 0, 3).reshape(self.dim, n * l)
+            return ChwDense(self.dim, quant=self.quant, dtype=self.dtype,
+                            name="proj")(out)
+
+        n, l, c = x.shape
 
         q = _dense(self.dim, quant=self.quant, dtype=self.dtype,
                    name="q")(x)
@@ -123,10 +181,19 @@ class MixFFN(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
-        n, l, c = x.shape
+    def __call__(self, x: jax.Array, hw: Tuple[int, int],
+                 chw_n: Optional[int] = None) -> jax.Array:
         h, w = hw
         hidden = self.dim * self.expansion
+        if chw_n is not None:
+            y = ChwDense(hidden, quant=self.quant, dtype=self.dtype,
+                         name="fc1")(x)
+            y = ChwDepthwise3x3(hidden, dtype=self.dtype,
+                                name="dwconv")(y, (chw_n, h, w))
+            y = nn.gelu(y)
+            return ChwDense(self.dim, quant=self.quant, dtype=self.dtype,
+                            name="fc2")(y)
+        n, l, c = x.shape
         y = _dense(hidden, quant=self.quant, dtype=self.dtype,
                    name="fc1")(x)
         y = y.reshape(n, h, w, hidden)
@@ -147,15 +214,23 @@ class Block(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
-        def ln(t, name):
-            return nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
-                                name=name)(t).astype(self.dtype)
+    def __call__(self, x: jax.Array, hw: Tuple[int, int],
+                 chw_n: Optional[int] = None) -> jax.Array:
+        if chw_n is not None:
+            def ln(t, name):
+                return ChwLayerNorm(self.dim, dtype=self.dtype,
+                                    name=name)(t)
+        else:
+            def ln(t, name):
+                return nn.LayerNorm(dtype=jnp.float32,
+                                    param_dtype=jnp.float32,
+                                    name=name)(t).astype(self.dtype)
         x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
                                    dtype=self.dtype, quant=self.quant,
-                                   name="attn")(ln(x, "norm1"), hw)
+                                   name="attn")(ln(x, "norm1"), hw,
+                                                chw_n=chw_n)
         x = x + MixFFN(self.dim, dtype=self.dtype, quant=self.quant,
-                       name="ffn")(ln(x, "norm2"), hw)
+                       name="ffn")(ln(x, "norm2"), hw, chw_n=chw_n)
         return x
 
 
@@ -192,6 +267,14 @@ class SegFormer(nn.Module):
     decoder_dim: int = 256
     dtype: Any = jnp.bfloat16
     quant: bool = False
+    # Inference-only layout choice: run the first ``chw_stages`` stages
+    # entirely in the transposed (C, pixels) orientation — embed, both
+    # LayerNorms, q/k/v/proj, SR conv, Mix-FFN and the Pallas attention
+    # kernel (flash_attention_t) — with ONE transpose back per stage at
+    # the norm{s} boundary.  The high-res few-channel stages are where
+    # NHWC wastes the machine (PERF.md round-3 roadmap); same math,
+    # same variable tree, A/B-able per stage.  Training keeps NHWC.
+    chw_stages: int = 2
 
     @classmethod
     def preset(cls, size: str, **overrides) -> "SegFormer":
@@ -211,19 +294,36 @@ class SegFormer(nn.Module):
         n, h0, w0, _ = x.shape
 
         feats = []
+        h, w = h0, w0
         for s in range(4):
             k, stride = (7, 4) if s == 0 else (3, 2)
-            x = OverlapPatchEmbed(self.widths[s], k, stride, dtype=dt,
-                                  name=f"embed{s}")(x)
-            n_, h, w, c = x.shape
-            x = x.reshape(n_, h * w, c)
-            for b in range(self.depths[s]):
-                x = Block(self.widths[s], self.num_heads[s],
-                          self.sr_ratios[s], dtype=dt, quant=self.quant,
-                          name=f"stage{s}_block{b}")(x, (h, w))
-            x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
-                             name=f"norm{s}")(x).astype(dt)
-            x = x.reshape(n_, h, w, c)
+            h, w = h // stride, w // stride
+            c = self.widths[s]
+            chw = (not train) and s < self.chw_stages
+            if chw:
+                xt = OverlapPatchEmbed(c, k, stride, dtype=dt,
+                                       name=f"embed{s}")(x, chw_out=True)
+                for b in range(self.depths[s]):
+                    xt = Block(c, self.num_heads[s], self.sr_ratios[s],
+                               dtype=dt, quant=self.quant,
+                               name=f"stage{s}_block{b}")(xt, (h, w),
+                                                          chw_n=n)
+                xt = ChwLayerNorm(c, dtype=dt, name=f"norm{s}")(xt)
+                # The single relayout of the stage: back to NHWC for the
+                # next embed and the decode head.
+                x = xt.T.reshape(n, h, w, c)
+            else:
+                x = OverlapPatchEmbed(c, k, stride, dtype=dt,
+                                      name=f"embed{s}")(x)
+                x = x.reshape(n, h * w, c)
+                for b in range(self.depths[s]):
+                    x = Block(c, self.num_heads[s], self.sr_ratios[s],
+                              dtype=dt, quant=self.quant,
+                              name=f"stage{s}_block{b}")(x, (h, w))
+                x = nn.LayerNorm(dtype=jnp.float32,
+                                 param_dtype=jnp.float32,
+                                 name=f"norm{s}")(x).astype(dt)
+                x = x.reshape(n, h, w, c)
             feats.append(x)
 
         # All-MLP head: project every stage to decoder_dim, upsample to 1/4,

@@ -1,0 +1,76 @@
+"""A/B the SegFormer transposed (CHW) stage campaign on the attached TPU.
+
+Measures the full forward at 1024² (BASELINE config 5) for a sweep of
+``chw_stages`` values — how many leading stages run in the transposed
+(C, pixels) orientation (models/segformer.py, models/chw.py) — using the
+serial-chained slope methodology from PERF.md (single-dispatch walls are
+meaningless through the tunnel).
+
+Usage:  python scripts/bench_segformer.py [--size b0] [--res 1024] \
+            [--stages 0 1 2 3 4] [--iters 8 24] [--quant]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="b0")
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--stages", type=int, nargs="+", default=(0, 1, 2, 3, 4))
+    ap.add_argument("--iters", type=int, nargs=2, default=(8, 24))
+    ap.add_argument("--quant", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bugcar_image_segmentation_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+    from bugcar_image_segmentation_tpu.models.segformer import SegFormer
+
+    r = args.res
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (1, r, r, 3),
+                            jnp.float32)
+
+    base = SegFormer.preset(args.size, quant=args.quant)
+    v = base.init(jax.random.PRNGKey(1), x0[:, :64, :64, :], train=False)
+    print(f"[bench_segformer] {args.size}{'+int8' if args.quant else ''} "
+          f"@ {r}x{r} on {jax.devices()[0].device_kind}", file=sys.stderr)
+
+    def slope(module):
+        @jax.jit
+        def step(variables, x):
+            y = module.apply(variables, x, train=False)
+            p = jnp.tanh(jnp.mean(y, axis=-1, keepdims=True)) * 0.01
+            return jnp.clip(x + p, 0.0, 1.0)
+
+        def run(n):
+            c = step(v, x0)
+            float(jnp.sum(c))  # warm + force
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                c = x0
+                for _ in range(n):
+                    c = step(v, c)
+                float(jnp.sum(c))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        ts = [run(n) for n in args.iters]
+        return (ts[1] - ts[0]) / (args.iters[1] - args.iters[0]) * 1e3
+
+    for k in args.stages:
+        m = SegFormer.preset(args.size, quant=args.quant, chw_stages=k)
+        t = slope(m)
+        print(f"chw_stages={k}: {t:.2f} ms/frame ({1e3 / t:.1f} fps)")
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,29 @@ class TestLineIntersection:
             [(0, 0), (0, 5)], [(1, 0), (1, 5)]) is None
 
 
+class TestCornersFromEdgeLines:
+    def test_recovers_quad_corners(self, rng):
+        corners = np.array([[210.0, 170.0], [305.0, 168.0],
+                            [330.0, 235.0], [185.0, 242.0]])
+        lines = []
+        for i in range(4):
+            a, b = corners[i - 1], corners[i]
+            t1, t2 = rng.uniform(0.1, 0.4), rng.uniform(0.6, 0.9)
+            lines.append((a + t1 * (b - a), a + t2 * (b - a)))
+        got = geometry.corners_from_edge_lines(lines)
+        np.testing.assert_allclose(got, corners, atol=1e-9)
+
+    def test_parallel_pair_raises(self):
+        lines = [((0, 0), (1, 0)), ((0, 1), (1, 1)),     # parallel pair
+                 ((0, 0), (0, 1)), ((1, 0), (1, 1))]
+        with pytest.raises(ValueError, match="parallel"):
+            geometry.corners_from_edge_lines(lines)
+
+    def test_wrong_count_raises(self):
+        with pytest.raises(ValueError, match="4 edge lines"):
+            geometry.corners_from_edge_lines([((0, 0), (1, 1))])
+
+
 class TestBEVCorners:
     def test_zero_yaw_geometry(self):
         out = geometry.bev_tile_corners(

@@ -176,6 +176,37 @@ class TestEngine:
         assert seg.shape == (h, w)
         assert set(np.unique(seg)) <= {0, 1, 2}
 
+    @pytest.mark.parametrize("stages", [1, 2, 4])
+    def test_segformer_chw_stages_parity(self, rng, stages):
+        # The transposed (C, pixels) stage path (PERF.md round-3 item):
+        # identical variable tree, same numbers as the NHWC path.
+        from bugcar_image_segmentation_tpu.models.segformer import SegFormer
+
+        x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+        m0 = SegFormer(num_classes=5, dtype=jnp.float32, chw_stages=0)
+        mk = SegFormer(num_classes=5, dtype=jnp.float32, chw_stages=stages)
+        v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+        vk = mk.init(jax.random.PRNGKey(0), x, train=False)
+        assert (jax.tree_util.tree_structure(v0)
+                == jax.tree_util.tree_structure(vk))
+        assert (jax.tree_util.tree_map(lambda a: a.shape, v0)
+                == jax.tree_util.tree_map(lambda a: a.shape, vk))
+        y0 = np.asarray(m0.apply(v0, x, train=False))
+        yk = np.asarray(mk.apply(v0, x, train=False))
+        np.testing.assert_allclose(yk, y0, atol=2e-4 * np.abs(y0).max())
+
+    def test_segformer_chw_train_path_unaffected(self, rng):
+        # train=True must ignore chw_stages (the CHW path is
+        # inference-only); params from a chw init must train fine.
+        from bugcar_image_segmentation_tpu.models.segformer import SegFormer
+
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        m = SegFormer(num_classes=5, dtype=jnp.float32, chw_stages=2)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        y, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+        assert y.shape == (1, 64, 64, 5)
+        assert np.isfinite(np.asarray(y)).all()
+
     def test_segformer_presets(self):
         from bugcar_image_segmentation_tpu.models.segformer import (
             SEGFORMER_PRESETS, SegFormer)

@@ -38,6 +38,41 @@ class TestCalibrateCLI:
             assert key in data, key
         assert np.asarray(data["bev matrix"]).shape == (3, 3)
 
+    def test_edge_line_calibration_matches_corner_mode(self, tmp_path):
+        # 4 edge lines whose consecutive intersections are exactly the
+        # corner-mode fiducials → identical matrix JSON (the reference's
+        # find_intersection_line flow, image_processing_utils.py:63-91).
+        corners = np.array([[210.0, 170.0], [305.0, 168.0],
+                            [330.0, 235.0], [185.0, 242.0]])
+        # line i runs corner i-1 → corner i, so line i ∩ line i+1 = c[i]
+        def along(a, b, t):
+            return a + t * (b - a)
+        edges = []
+        for i in range(4):
+            a, b = corners[i - 1], corners[i]
+            edges += [along(a, b, 0.2), along(a, b, 0.8)]
+        # rotate: corners_from_edge_lines gives line[i] ∩ line[i+1];
+        # with line i = (c[i-1], c[i]) that intersection is c[i].
+        args = [f"{p[0]},{p[1]}" for p in edges]
+        out_e = tmp_path / "edge.json"
+        out_c = tmp_path / "corner.json"
+        common = ["--input-size", "512x256", "--output-size", "512x512",
+                  "--dist2target", "5,110", "--tile-length", "60",
+                  "--cm-per-px", "2", "--yaw", "0.12"]
+        r = run([f"{REPO}/scripts/calibrate.py", "--edges", *args,
+                 *common, "--out", str(out_e)])
+        assert r.returncode == 0, r.stderr
+        r = run([f"{REPO}/scripts/calibrate.py", "--corners",
+                 "210,170", "305,168", "330,235", "185,242",
+                 *common, "--out", str(out_c)])
+        assert r.returncode == 0, r.stderr
+        me = np.asarray(json.loads(out_e.read_text())["bev matrix"])
+        mc = np.asarray(json.loads(out_c.read_text())["bev matrix"])
+        # corner i from edges = line i ∩ line i+1 = corners[i]; the
+        # solver sorts corners counter-clockwise internally, so any
+        # rotation of the same 4 points yields the same homography.
+        np.testing.assert_allclose(me, mc, atol=1e-6)
+
     def test_missing_mode_errors(self, tmp_path):
         r = run([f"{REPO}/scripts/calibrate.py", "--out",
                  str(tmp_path / "x.json")])
