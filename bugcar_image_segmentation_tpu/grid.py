@@ -85,7 +85,13 @@ class OccupancyGridBuilder:
       interpolation: "cv2_linear" warps class *values* bilinearly exactly as
         the reference does (bev.py:182 — including the fractional-label
         artefacts that behaviour implies), "nearest" is the semantically
-        clean alternative.
+        clean alternative.  "native" is the fast-grid mode: the warp
+        samples ONLY the ~cells² template pixels the binning would keep
+        (6.4k gather indices instead of 160k at the default geometry —
+        the warp is per-index-bound, ops/warp.py), with identical
+        per-pixel value math; morphology then runs at CELL resolution,
+        the one measurable semantic delta vs the parity path (bounded in
+        tests/test_grid_parity.py, reported in PERF.md).
       laserscan: override the calibration's laserscan flag.
     """
 
@@ -103,15 +109,26 @@ class OccupancyGridBuilder:
         self.laserscan = cal.laserscan if laserscan is None else laserscan
         self.geom = g = template_geometry(cal, grid)
         self.segmap_shape = (cal.input_height, cal.input_width)
+        self.interpolation = interpolation
 
-        self._taps = warp.perspective_taps(
-            cal.matrix_np(),
-            src_shape=self.segmap_shape,
-            dst_shape=(g.tpl_h, g.tpl_w),
-            interpolation=interpolation,
-            dst_offset=g.coord_offset,
-            valid_rect=g.valid_rect,
-        )
+        if interpolation == "native":
+            self._taps = warp.cell_center_taps(
+                cal.matrix_np(),
+                src_shape=self.segmap_shape,
+                tpl_shape=(g.tpl_h, g.tpl_w),
+                cells_shape=(g.cells_h, g.cells_w),
+                dst_offset=g.coord_offset,
+                valid_rect=g.valid_rect,
+            )
+        else:
+            self._taps = warp.perspective_taps(
+                cal.matrix_np(),
+                src_shape=self.segmap_shape,
+                dst_shape=(g.tpl_h, g.tpl_w),
+                interpolation=interpolation,
+                dst_offset=g.coord_offset,
+                valid_rect=g.valid_rect,
+            )
 
         if self.laserscan:
             ch, cw = g.cells_h, g.cells_w
@@ -165,7 +182,13 @@ class OccupancyGridBuilder:
         speckles = occupied > opened
         template = jnp.where(speckles, jnp.uint8(2), template)
 
-        cells = resize.resize_nearest(template, (g.cells_h, g.cells_w))
+        if self.interpolation == "native":
+            # Fast-grid mode: the warp already sampled at cell
+            # resolution (warp.cell_center_taps), so the morph-open
+            # above ran per cell and there is nothing to bin.
+            cells = template
+        else:
+            cells = resize.resize_nearest(template, (g.cells_h, g.cells_w))
 
         if self.mode == "multiclass":
             if self.laserscan:

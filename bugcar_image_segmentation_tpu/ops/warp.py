@@ -62,13 +62,19 @@ def cv2_inverse_coords(matrix: np.ndarray,
     Returns:
       (fX, fY) float32 arrays of shape (dst_height, dst_width).
     """
-    minv = np.linalg.inv(np.asarray(matrix, dtype=np.float64))
-    mi = minv.astype(np.float32)
     ox, oy = dst_offset
     xs = (np.arange(dst_width, dtype=np.float32) + np.float32(ox))[None, :]
     ys = (np.arange(dst_height, dtype=np.float32) + np.float32(oy))[:, None]
     xs = np.broadcast_to(xs, (dst_height, dst_width))
     ys = np.broadcast_to(ys, (dst_height, dst_width))
+    return _inverse_coords_at(matrix, xs, ys)
+
+
+def _inverse_coords_at(matrix: np.ndarray, xs: np.ndarray, ys: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """cv2's fma-contracted inverse map at arbitrary dst coordinates."""
+    minv = np.linalg.inv(np.asarray(matrix, dtype=np.float64))
+    mi = minv.astype(np.float32)
     den = _fma32(mi[2, 0], xs, _fma32(mi[2, 1], ys, np.float32(mi[2, 2])))
     fx = _fma32(mi[0, 0], xs, _fma32(mi[0, 1], ys, np.float32(mi[0, 2]))) / den
     fy = _fma32(mi[1, 0], xs, _fma32(mi[1, 1], ys, np.float32(mi[1, 2]))) / den
@@ -116,16 +122,32 @@ def perspective_taps(matrix: np.ndarray,
     sh, sw = src_shape
     dh, dw = dst_shape
     fx, fy = cv2_inverse_coords(matrix, dw, dh, dst_offset)
+    cols = np.broadcast_to(np.arange(dw)[None, :], (dh, dw))
+    rows = np.broadcast_to(np.arange(dh)[:, None], (dh, dw))
+    window = _window_mask(cols, rows, valid_rect)
+    indices, weights = _plan_from_coords(fx, fy, window, src_shape,
+                                         interpolation)
+    return WarpTaps(indices=jnp.asarray(indices),
+                    weights=jnp.asarray(weights),
+                    src_shape=(sh, sw), mode=interpolation)
+
+
+def _window_mask(cols: np.ndarray, rows: np.ndarray,
+                 valid_rect: Optional[Tuple[int, int, int, int]]
+                 ) -> np.ndarray:
+    if valid_rect is None:
+        return np.ones(cols.shape, dtype=bool)
+    x0, x1, y0, y1 = valid_rect
+    return (cols >= x0) & (cols < x1) & (rows >= y0) & (rows < y1)
+
+
+def _plan_from_coords(fx: np.ndarray, fy: np.ndarray, window: np.ndarray,
+                      src_shape: Tuple[int, int], interpolation: str
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Indices/weights for sampling src at float coords (fx, fy)."""
+    sh, sw = src_shape
     fx64 = fx.astype(np.float64)
     fy64 = fy.astype(np.float64)
-
-    if valid_rect is not None:
-        x0, x1, y0, y1 = valid_rect
-        cols = np.arange(dw)[None, :]
-        rows = np.arange(dh)[:, None]
-        window = (cols >= x0) & (cols < x1) & (rows >= y0) & (rows < y1)
-    else:
-        window = np.ones((dh, dw), dtype=bool)
 
     def in_bounds(iy, ix):
         return (ix >= 0) & (ix < sw) & (iy >= 0) & (iy < sh)
@@ -149,7 +171,7 @@ def perspective_taps(matrix: np.ndarray,
         base_y = np.clip(iy, 0, max(sh - 2, 0))
         base_x = np.clip(ix, 0, max(sw - 2, 0))
         indices = (base_y * sw + base_x).astype(np.int32)
-        weights = np.zeros((dh, dw, 4), np.float32)
+        weights = np.zeros(fx.shape + (4,), np.float32)
         tap_weights = [(iy, ix, (1.0 - ffx) * (1.0 - ffy)),
                        (iy, ix + 1, ffx * (1.0 - ffy)),
                        (iy + 1, ix, (1.0 - ffx) * ffy),
@@ -165,6 +187,44 @@ def perspective_taps(matrix: np.ndarray,
     else:
         raise ValueError(f"unknown interpolation {interpolation!r}")
 
+    return indices, weights
+
+
+def cell_center_taps(matrix: np.ndarray,
+                     src_shape: Tuple[int, int],
+                     tpl_shape: Tuple[int, int],
+                     cells_shape: Tuple[int, int],
+                     dst_offset: Tuple[int, int] = (0, 0),
+                     valid_rect: Optional[Tuple[int, int, int, int]] = None,
+                     interpolation: str = "cv2_linear") -> WarpTaps:
+    """Gather plan sampling ONLY the template pixels the cell binning reads.
+
+    The parity path warps the full (tpl_h, tpl_w) template (~160k gather
+    indices at 400² — per-INDEX-bound hardware cost, see module
+    docstring) and then nearest-resizes down to (cells_h, cells_w); but
+    that resize reads exactly one template pixel per cell
+    (``sx = floor(dx * src/dst)``, ops/resize.py).  This plan evaluates
+    the same fma-contracted inverse map at just those ~6.4k pixels, with
+    the same per-pixel interpolation math and validity window — the
+    warped cell values are IDENTICAL to warp-then-resize; what a
+    consumer gives up is template-resolution morphology in between
+    (grid.py "native" mode runs it at cell resolution instead).
+    """
+    sh, sw = src_shape
+    th, tw = tpl_shape
+    ch, cw = cells_shape
+    # Mirror ops/resize._nearest_indices bit-for-bit.
+    ty = np.minimum((np.arange(ch) * (th / ch)).astype(np.int64), th - 1)
+    tx = np.minimum((np.arange(cw) * (tw / cw)).astype(np.int64), tw - 1)
+    ox, oy = dst_offset
+    cols = np.broadcast_to(tx[None, :], (ch, cw))
+    rows = np.broadcast_to(ty[:, None], (ch, cw))
+    xs = cols.astype(np.float32) + np.float32(ox)
+    ys = rows.astype(np.float32) + np.float32(oy)
+    fx, fy = _inverse_coords_at(matrix, xs, ys)
+    window = _window_mask(cols, rows, valid_rect)
+    indices, weights = _plan_from_coords(fx, fy, window, src_shape,
+                                         interpolation)
     return WarpTaps(indices=jnp.asarray(indices),
                     weights=jnp.asarray(weights),
                     src_shape=(sh, sw), mode=interpolation)
@@ -200,5 +260,5 @@ def apply_warp(src: jax.Array, taps: WarpTaps) -> jax.Array:
     return jnp.clip(jnp.round(acc), 0, 255).astype(src.dtype)
 
 
-__all__ = ["cv2_inverse_coords", "perspective_taps", "pack_neighborhood",
-           "apply_warp", "WarpTaps"]
+__all__ = ["cv2_inverse_coords", "perspective_taps", "cell_center_taps",
+           "pack_neighborhood", "apply_warp", "WarpTaps"]

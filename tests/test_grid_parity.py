@@ -90,6 +90,56 @@ class TestMulticlassParity:
         assert set(np.unique(got)) <= {-1, 0, 100}
 
 
+class TestNativeFastGrid:
+    """interpolation="native": warp at the ~6.4k cell-center pixels only
+    (ops/warp.cell_center_taps); the single semantic delta vs the parity
+    path is morphology at cell instead of template resolution."""
+
+    def test_exact_when_morphology_is_a_noop(self, rng):
+        # All-road segmap → zero occupied pixels → morph-open is identity
+        # at EITHER resolution → native must equal parity bit-for-bit.
+        cal = make_calibration(False)
+        parity = OccupancyGridBuilder(cal, GRID)
+        native = OccupancyGridBuilder(cal, GRID, interpolation="native")
+        seg = np.full((256, 512), 1, np.uint8)   # all ROAD
+        np.testing.assert_array_equal(np.asarray(native(seg)),
+                                      np.asarray(parity(seg)))
+
+    @pytest.mark.parametrize("laserscan", [False, True])
+    def test_disagreement_bounded_vs_parity(self, rng, laserscan):
+        cal = make_calibration(laserscan)
+        parity = OccupancyGridBuilder(cal, GRID, mode="multiclass")
+        native = OccupancyGridBuilder(cal, GRID, mode="multiclass",
+                                      interpolation="native")
+        total = disagree = 0
+        for _ in range(4):
+            seg = blobby_segmap(rng, (256, 512))
+            p = np.asarray(parity(seg))
+            nv = np.asarray(native(seg))
+            assert set(np.unique(nv)) <= {-1, 0, 100}
+            total += p.size
+            disagree += int((p != nv).sum())
+        # morphology-resolution differences only — a few % of cells.
+        assert disagree / total < 0.05, (disagree, total)
+
+    def test_binary_native(self, rng):
+        cal = make_calibration(False)
+        native = OccupancyGridBuilder(cal, GRID, mode="binary",
+                                      interpolation="native")
+        seg = (blobby_segmap(rng, (256, 512)) > 0).astype(np.uint8)
+        got = np.asarray(native(seg))
+        assert got.shape == (80, 80)
+
+    def test_batched_matches_single(self, rng):
+        cal = make_calibration(False)
+        native = OccupancyGridBuilder(cal, GRID, interpolation="native")
+        segs = np.stack([blobby_segmap(rng, (256, 512)) for _ in range(2)])
+        batched = np.asarray(native(segs))
+        for i in range(2):
+            np.testing.assert_array_equal(batched[i],
+                                          np.asarray(native(segs[i])))
+
+
 class TestBinaryParity:
     @pytest.mark.parametrize("laserscan", [False, True])
     def test_matches_oracle(self, rng, laserscan):
