@@ -274,7 +274,9 @@ class SegFormer(nn.Module):
     # the norm{s} boundary.  The high-res few-channel stages are where
     # NHWC wastes the machine (PERF.md round-3 roadmap); same math,
     # same variable tree, A/B-able per stage.  Training keeps NHWC.
-    chw_stages: int = 2
+    # Measured on the bench v5e, B0@1024²: 10.85 / 8.89 / 6.88 / 5.65 /
+    # 5.28 ms at chw_stages = 0..4 — monotone, so default all-stages.
+    chw_stages: int = 4
 
     @classmethod
     def preset(cls, size: str, **overrides) -> "SegFormer":

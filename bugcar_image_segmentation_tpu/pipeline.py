@@ -64,13 +64,27 @@ class Pipeline:
                  interpolation: str = "cv2_linear",
                  use_clahe: bool = False,
                  contour_filter: bool = False,
-                 host_resize: bool = False):
+                 host_resize: bool = False,
+                 transport: str = "bgr"):
         expect = (cal.input_height, cal.input_width)
         got = (engine.cfg.input_height, engine.cfg.input_width)
         if expect != got:
             raise ValueError(
                 f"calibration input_shape (h, w)={expect} must match the "
                 f"engine's output resolution {got}")
+        if transport not in ("bgr", "i420"):
+            raise ValueError(f"unknown transport {transport!r}")
+        if transport == "i420" and not host_resize:
+            # The packed plane layout is built at model resolution on the
+            # host (a real camera would hand us YUV at capture size and
+            # the resize would happen on the Y/UV planes; out of scope).
+            raise ValueError("transport='i420' requires host_resize=True")
+        # "i420" ships frames as YUV 4:2:0 planes — 1.5 B/px instead of
+        # 3 — and converts to BGR on device inside the fused program
+        # (ops/yuv.py).  Halves host→device link bytes; the right choice
+        # when the link, not compute, bounds throughput (tunneled TPU,
+        # PERF.md round 3).
+        self.transport = transport
         self.engine = engine
         self.builder = OccupancyGridBuilder(cal, grid_cfg, mode=mode,
                                             interpolation=interpolation)
@@ -85,6 +99,9 @@ class Pipeline:
         self.default_depth = 2
 
         def run(variables: dict, frame_bgr: jax.Array):
+            if self.transport == "i420":
+                from .ops import yuv
+                frame_bgr = yuv.i420_to_bgr(frame_bgr, self._model_hw)
             if use_clahe:
                 # Camera pre-enhancement fused into the same program
                 # (reference ran it on host, image_processing_utils.py:46).
@@ -118,11 +135,28 @@ class Pipeline:
                 out = jnp.stack(out)
             return out, seg
 
+        def run_batch(variables: dict, frames: jax.Array) -> jax.Array:
+            # Batches beyond 4 overflow VMEM (the packed warp sources
+            # alone are 2 MB f32 each, plus stem activations) and turn
+            # the program HBM-bound — measured 2x/frame at batch 8
+            # (PERF.md round 2).  Chunk the batch through a lax.map so
+            # the working set stays one 4-frame chunk; within-chunk
+            # frames still vmap (amortizing per-op fixed costs).
+            k = frames.shape[0]
+            chunk = 4
+            one = lambda v, f: run(v, f)[0]
+            if k <= chunk or k % chunk:
+                return jax.vmap(one, in_axes=(None, 0))(variables, frames)
+            fr = frames.reshape((k // chunk, chunk) + frames.shape[1:])
+            grids = jax.lax.map(
+                lambda c: jax.vmap(one, in_axes=(None, 0))(variables, c),
+                fr)
+            return grids.reshape((k,) + grids.shape[2:])
+
         # Variables ride along as a runtime argument (see models/api.py) so
         # engine.load_variables() affects compiled pipelines immediately.
         self._run = jax.jit(run)
-        self._run_batch = jax.jit(jax.vmap(
-            lambda v, f: run(v, f)[0], in_axes=(None, 0)))
+        self._run_batch = jax.jit(run_batch)
         self._run_impl = run
 
     @classmethod
@@ -250,6 +284,9 @@ class Pipeline:
                 import cv2
                 frame_bgr = cv2.resize(frame_bgr, (w, h),
                                        interpolation=cv2.INTER_LINEAR)
+        if self.transport == "i420":
+            from .ops import yuv
+            frame_bgr = yuv.bgr_to_i420_host(frame_bgr)
         return frame_bgr
 
     def warmup(self, frame_shape: Tuple[int, int, int]) -> float:

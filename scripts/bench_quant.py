@@ -39,7 +39,11 @@ def main() -> None:
 
     mf = SegFormer.preset(args.size)
     mq = SegFormer.preset(args.size, quant=True)
-    v = mf.init(jax.random.PRNGKey(1), x0[:, :64, :64, :], train=False)
+    # Jitted init — see bench_segformer.py (eager init through the
+    # tunnel costs minutes; this was the round-2 B3 A/B "compile
+    # timeout").
+    v = jax.jit(lambda k, x: mf.init(k, x, train=False))(
+        jax.random.PRNGKey(1), x0[:, :64, :64, :])
     # init on a small input (SegFormer is fully convolutional /
     # shape-agnostic in params), then run at full res
     print(f"[bench_quant] {args.size} @ {r}x{r} on "

@@ -39,7 +39,11 @@ def main() -> None:
                             jnp.float32)
 
     base = SegFormer.preset(args.size, quant=args.quant)
-    v = base.init(jax.random.PRNGKey(1), x0[:, :64, :64, :], train=False)
+    # Jitted init: eager init individually compiles/dispatches every
+    # param op through the tunnel (~0.4 s each, minutes total — measured
+    # round 3); one jitted program compiles once.
+    v = jax.jit(lambda k, x: base.init(k, x, train=False))(
+        jax.random.PRNGKey(1), x0[:, :64, :64, :])
     print(f"[bench_segformer] {args.size}{'+int8' if args.quant else ''} "
           f"@ {r}x{r} on {jax.devices()[0].device_kind}", file=sys.stderr)
 

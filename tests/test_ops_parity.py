@@ -79,6 +79,24 @@ class TestWarp:
             np.asarray(warp.apply_warp(jnp.asarray(seg), taps)), seg)
 
 
+class TestYUVTransport:
+    def test_device_inverse_matches_cv2_within_1(self, rng):
+        from bugcar_image_segmentation_tpu.ops import yuv
+
+        bgr = rng.integers(0, 256, (64, 96, 3), np.uint8)
+        packed = yuv.bgr_to_i420_host(bgr)
+        assert packed.shape == yuv.i420_shape((64, 96))
+        ours = np.asarray(yuv.i420_to_bgr(jnp.asarray(packed), (64, 96)))
+        want = cv2.cvtColor(packed, cv2.COLOR_YUV2BGR_I420)
+        err = np.abs(ours.astype(int) - want.astype(int)).max()
+        assert err <= 1, f"max channel deviation {err} vs cv2"
+
+    def test_odd_shape_rejected(self):
+        from bugcar_image_segmentation_tpu.ops import yuv
+        with pytest.raises(ValueError, match="even"):
+            yuv.i420_shape((63, 96))
+
+
 class TestMorphology:
     @pytest.mark.parametrize("k", [(3, 3), (5, 5), (4, 4), (2, 6), (9, 9)])
     def test_open_close_parity(self, rng, k):

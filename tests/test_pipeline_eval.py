@@ -147,6 +147,57 @@ class TestPipeline:
             np.asarray(Pipeline(engine, cal, GRID)(small)),
             np.asarray(pipe_host(small)))
 
+    def test_i420_transport_close_to_bgr(self, engine, rng):
+        # i420 ships 1.5 B/px and converts on device (ops/yuv.py); the
+        # chroma subsample shifts a few boundary pixels of the class map
+        # at most — grids must agree on nearly all cells.
+        import cv2
+
+        cal = make_cal()
+        from bugcar_image_segmentation_tpu import synthetic
+        from bugcar_image_segmentation_tpu.ops import yuv
+        frame, _ = synthetic.road_scene(rng, (48, 96))
+        pipe_bgr = Pipeline(engine, cal, GRID, host_resize=True)
+        pipe_yuv = Pipeline(engine, cal, GRID, host_resize=True,
+                            transport="i420")
+        g_yuv = np.asarray(pipe_yuv(frame))
+        assert g_yuv.dtype == np.int8
+        assert set(np.unique(g_yuv)) <= {-1, 0, 100}
+        # Isolate the device-side conversion: feed the bgr pipeline the
+        # cv2 round trip of the same packed frame.  (The random-weight
+        # test engine sits near argmax ties everywhere, so comparing
+        # against the ORIGINAL frame would measure chroma subsampling
+        # through an untrained net, not the transport machinery.)
+        h, w = 32, 64
+        small = cv2.resize(frame, (w, h), interpolation=cv2.INTER_LINEAR)
+        packed = yuv.bgr_to_i420_host(small)
+        roundtrip = cv2.cvtColor(packed, cv2.COLOR_YUV2BGR_I420)
+        g_rt = np.asarray(pipe_bgr(roundtrip))
+        frac = (g_rt != g_yuv).mean()
+        assert frac <= 0.05, f"{frac:.3%} of cells flipped by transport"
+        # streaming path round-trips the packed layout too
+        outs = list(pipe_yuv.stream(iter([frame] * 3), depth=2))
+        assert len(outs) == 3
+        np.testing.assert_array_equal(outs[0], outs[2])
+
+    def test_batched_chunking_matches_single(self, engine, rng):
+        # _run_batch chunks batches >4 through lax.map (VMEM defense,
+        # PERF.md round 3); results must equal the per-frame program.
+        cal = make_cal()
+        pipe = Pipeline(engine, cal, GRID)
+        frames = rng.integers(0, 256, size=(8, 48, 96, 3), dtype=np.uint8)
+        batched = np.asarray(pipe._run_batch(engine.variables,
+                                             jnp.asarray(frames)))
+        assert batched.shape[0] == 8
+        for i in range(8):
+            single, _ = pipe._run(engine.variables,
+                                  jnp.asarray(frames[i]))
+            np.testing.assert_array_equal(batched[i], np.asarray(single))
+
+    def test_i420_requires_host_resize(self, engine):
+        with pytest.raises(ValueError, match="host_resize"):
+            Pipeline(engine, make_cal(), GRID, transport="i420")
+
     def test_from_configs_runtime(self, engine, rng):
         from bugcar_image_segmentation_tpu.configs import RuntimeConfig
         cal = make_cal()
