@@ -18,6 +18,16 @@ tests/test_enet_fused.py pins f32 parity and bf16 argmax agreement.
 
 Use via ``build_engine("enet_fused")`` (models/api.py) — same Engine
 API, same variable tree as ``"enet"``.
+
+STATUS: FROZEN as a documented-slower alternative (VERDICT r2 Weak #7).
+The A/B measured 11.3 us/block vs XLA's 0.5 us on the trunk shapes
+(PERF.md round 2b) — XLA's own orientation + fusion wins at
+C=128/mid=32, and the round-3 transposed-layout work targets the
+transformer, not this kernel.  Kept because (a) it is the only
+whole-block Pallas fusion in the tree (a template for future TPU
+generations where the trade-off may flip — re-run the A/B before
+trusting either way), and (b) its Mosaic compilation is now pinned by
+an on-chip test (tests/test_tpu.py).  No further optimization planned.
 """
 
 from __future__ import annotations

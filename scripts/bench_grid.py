@@ -90,6 +90,30 @@ def main() -> None:
         t = scan_slope(pbody, frame0, *args.iters)
         print(f"frame->grid [{interp:10s}]: {t:.3f} ms ({1e3/t:.0f} fps)")
 
+    # BASELINE config 4: the 4-camera rig + max-merge stitch.
+    from bugcar_image_segmentation_tpu.pipeline import MultiCameraPipeline
+    cals = [_toy_calibration((cfg.input_height, cfg.input_width))
+            for _ in range(4)]
+    frames0 = jnp.asarray(rng.integers(
+        0, 256, (4, cfg.input_height, cfg.input_width, 3), np.uint8))
+    for interp in ("cv2_linear", "native"):
+        rig = MultiCameraPipeline(engine, cals, gc, interpolation=interp)
+
+        def rbody(fr, rig=rig):
+            logits = engine._forward(engine.variables, fr)
+            from bugcar_image_segmentation_tpu.models import remap
+            from bugcar_image_segmentation_tpu.pipeline import stitch_grids
+            segs = remap.logits_to_drivability(logits, engine.remap_table)
+            grids = [b.build(segs[k]) for k, b in enumerate(rig.builders)]
+            g = stitch_grids(jnp.stack(grids))
+            p = (jnp.sum(g.astype(jnp.int32)) % 2).astype(jnp.uint8)
+            return fr ^ p
+
+        t = scan_slope(rbody, frames0, args.iters[0] // 2,
+                       args.iters[1] // 2)
+        print(f"4-cam rig   [{interp:10s}]: {t:.3f} ms/rig "
+              f"({1e3/t:.0f} rig-fps)")
+
 
 if __name__ == "__main__":
     main()
