@@ -20,6 +20,8 @@ sys.path.insert(0, ".")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, nargs=2, default=(20, 60))
+    ap.add_argument("--model", default="enet",
+                    help="engine name (enet, unet = BASELINE config 3, …)")
     args = ap.parse_args()
 
     import jax
@@ -34,11 +36,15 @@ def main() -> None:
     from bugcar_image_segmentation_tpu.models.api import build_engine
     from bugcar_image_segmentation_tpu.pipeline import Pipeline
 
-    cfg = ModelConfig()
-    engine = build_engine("enet", cfg)
+    if args.model == "enet":
+        cfg = ModelConfig()
+    else:
+        cfg = ModelConfig(name=args.model, input_width=512,
+                          input_height=256, num_classes=15)
+    engine = build_engine(args.model, cfg)
     cal = _toy_calibration((cfg.input_height, cfg.input_width))
     pipe = Pipeline(engine, cal, GridConfig(8.0, 8.0, 0.1))
-    print(f"[bench_batch] on {jax.devices()[0].device_kind}",
+    print(f"[bench_batch] {args.model} on {jax.devices()[0].device_kind}",
           file=sys.stderr)
 
     frame = np.random.default_rng(0).integers(
