@@ -290,6 +290,7 @@ class ChwDeconv2xPhase(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    use_bias: bool = False  # the classifier head's deconv carries one
 
     @nn.compact
     def __call__(self, xt: jax.Array,
@@ -319,6 +320,10 @@ class ChwDeconv2xPhase(nn.Module):
         wt = w2.transpose(3, 0, 1, 2).reshape(4 * self.features, 4 * cin)
         y = jax.lax.dot(wt.astype(dt), xcat.astype(dt),
                         preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + jnp.tile(bias, 4)[:, None]   # phase-major rows
         return y.astype(dt)
 
 
@@ -734,7 +739,19 @@ class ENet(nn.Module):
         x, _ = Bottleneck(16, "regular", dtype=dt, name="b5_1")(x, train)
 
         # Full-resolution classifier head.
-        if self.fast:
+        if self.fast and not train:
+            # CHW phase head: b5_1's CHW block ends with a transpose
+            # that XLA cancels against this entry transpose, so the
+            # 16-channel deconv runs as one (60, 64) x (64, M) matmul
+            # in the fast orientation + a single depth-to-space.
+            n_, h_, w_, c_ = x.shape
+            xt = x.reshape(n_ * h_ * w_, c_).T.astype(dt)
+            z = ChwDeconv2xPhase(self.num_classes, dtype=dt,
+                                 use_bias=True, name="fullconv")(
+                                     xt, (n_, h_, w_))
+            x = depth_to_space(
+                z.T.reshape(n_, h_, w_, 4 * self.num_classes))
+        elif self.fast:
             x = FastConvTranspose2x(self.num_classes, kernel=3,
                                     use_bias=True, dtype=dt,
                                     name="fullconv")(x)
