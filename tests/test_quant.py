@@ -145,3 +145,30 @@ class TestSegFormerInt8:
     def test_engine_name_rejects_bad_size(self):
         with pytest.raises(ValueError):
             build_engine("segformer_b9_int8")
+
+
+class TestChwDenseInt8:
+    """The transposed Dense (models/chw.py) carries the same W8A8 path
+    and shape gate as Int8Dense over (C, M)-oriented activations."""
+
+    def test_transposed_int8_matches_int8_dense(self):
+        from bugcar_image_segmentation_tpu.models.chw import ChwDense
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (64, 512), jnp.float32)
+        v = nn.Dense(512, param_dtype=jnp.float32).init(
+            jax.random.PRNGKey(4), x)
+        want = Int8Dense(512, dtype=jnp.float32).apply(v, x)
+        got_t = ChwDense(512, dtype=jnp.float32, quant=True).apply(v, x.T)
+        np.testing.assert_allclose(np.asarray(got_t.T), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_transposed_gate_small_stays_float(self):
+        from bugcar_image_segmentation_tpu.models.chw import ChwDense
+
+        x = jax.random.normal(jax.random.PRNGKey(5), (16, 64), jnp.float32)
+        v = nn.Dense(32, param_dtype=jnp.float32).init(
+            jax.random.PRNGKey(6), x)
+        ref = np.asarray(nn.Dense(32, param_dtype=jnp.float32).apply(v, x))
+        got = ChwDense(32, dtype=jnp.float32, quant=True).apply(v, x.T)
+        np.testing.assert_allclose(np.asarray(got.T), ref,
+                                   rtol=0.02, atol=0.02)
