@@ -21,7 +21,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from typing import Optional
+
 from ..ops import pooling
+from .enet import ChwBatchNorm, ChwConv
 from .fastconv import FastConvTranspose2x
 
 
@@ -30,7 +33,19 @@ class DoubleConv(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 nhw: Optional[Tuple[int, int, int]] = None) -> jax.Array:
+        if nhw is not None:
+            # Transposed (C, pixels) inference path — the ENet layout
+            # doctrine (PERF.md round 2b) applied to UNet's narrow
+            # high-res stages; identical variable tree.
+            for i in range(2):
+                x = ChwConv(self.features, (3, 3), dtype=self.dtype,
+                            name=f"conv{i}")(x, nhw)
+                x = ChwBatchNorm(self.features, epsilon=1e-3,
+                                 dtype=self.dtype, name=f"bn{i}")(x)
+                x = nn.relu(x)
+            return x
         for i in range(2):
             x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
@@ -53,6 +68,27 @@ class UNet(nn.Module):
     # 2x2/2 transposed convs as 1x1 conv + depth-to-space (fastconv.py);
     # same params & math, denser MXU work.
     fast: bool = True
+    # Inference layout gate: DoubleConvs at width <= chw_max_width run
+    # in the transposed (C, pixels) orientation (ENet layout doctrine,
+    # PERF.md round 2b/3).  Default OFF — measured SLOWER on the bench
+    # v5e (1.90 -> 3.12/3.62 ms at gate 32/64, PERF.md round 3): the
+    # CHW 3x3 materializes a 9-tap concat, which at UNet's full-res
+    # 131k-pixel maps is a 75-150 MB HBM working set; ENet's CHW
+    # regulars live on 8k-pixel maps where the taps stay cached.  The
+    # layout doctrine has a map-size ceiling, same lesson as the
+    # DeepLab stem (PERF.md round 2b #3).
+    chw_max_width: int = 0
+
+    def _dconv(self, x: jax.Array, w: int, name: str, train: bool,
+               dt) -> jax.Array:
+        chw = (not train) and self.fast and w <= self.chw_max_width
+        if chw:
+            n_, h_, w_, c_ = x.shape
+            xt = x.reshape(n_ * h_ * w_, c_).T.astype(dt)
+            yt = DoubleConv(w, dtype=dt, name=name)(xt, train,
+                                                    nhw=(n_, h_, w_))
+            return yt.T.reshape(n_, h_, w_, w)
+        return DoubleConv(w, dtype=dt, name=name)(x, train)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -66,7 +102,7 @@ class UNet(nn.Module):
 
         skips = []
         for i, w in enumerate(self.widths):
-            x = DoubleConv(w, dtype=dt, name=f"enc{i}")(x, train)
+            x = self._dconv(x, w, f"enc{i}", train, dt)
             skips.append(x)
             x = pooling.max_pool_2x2(x)
 
@@ -83,7 +119,7 @@ class UNet(nn.Module):
                                      param_dtype=jnp.float32,
                                      name=f"up{i}")(x)
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-            x = DoubleConv(w, dtype=dt, name=f"dec{i}")(x, train)
+            x = self._dconv(x, w, f"dec{i}", train, dt)
 
         x = nn.Conv(self.num_classes, (1, 1), dtype=dt,
                     param_dtype=jnp.float32, name="classifier")(x)

@@ -207,6 +207,26 @@ class TestEngine:
         assert y.shape == (1, 64, 64, 5)
         assert np.isfinite(np.asarray(y)).all()
 
+    def test_unet_chw_gate_parity(self, rng):
+        # UNet's narrow-stage transposed path (models/unet.py
+        # chw_max_width): identical tree, same numbers, train unaffected.
+        from bugcar_image_segmentation_tpu.models.unet import UNet
+
+        x = jnp.asarray(rng.normal(size=(1, 32, 64, 3)).astype(np.float32))
+        m0 = UNet(num_classes=5, dtype=jnp.float32, chw_max_width=0)
+        m1 = UNet(num_classes=5, dtype=jnp.float32, chw_max_width=64)
+        v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+        v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+        assert (jax.tree_util.tree_structure(v0)
+                == jax.tree_util.tree_structure(v1))
+        assert (jax.tree_util.tree_map(lambda a: a.shape, v0)
+                == jax.tree_util.tree_map(lambda a: a.shape, v1))
+        y0 = np.asarray(m0.apply(v0, x, train=False))
+        y1 = np.asarray(m1.apply(v0, x, train=False))
+        np.testing.assert_allclose(y1, y0, atol=1e-4 * np.abs(y0).max())
+        yt, _ = m1.apply(v1, x, train=True, mutable=["batch_stats"])
+        assert np.isfinite(np.asarray(yt)).all()
+
     def test_segformer_presets(self):
         from bugcar_image_segmentation_tpu.models.segformer import (
             SEGFORMER_PRESETS, SegFormer)
