@@ -107,6 +107,45 @@ class ChwDense(nn.Module):
         return y.astype(dt)
 
 
+class ChwConv1x1(nn.Module):
+    """``nn.Conv(features, (1, 1))`` over transposed activations, with
+    the conv's param tree (``kernel`` (1, 1, Cin, Cout), ``bias``).
+
+    Accepts either one (Cin, M) array or a LIST of (C_k, M) parts whose
+    channel counts sum to Cin — the parts case computes
+    ``W @ concat(parts)`` as a sum of per-part matmuls WITHOUT
+    materializing the concatenation (SegFormer's decode-head fuse over
+    4 × decoder_dim channels is a 128 MB concat at 1024² otherwise)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> jax.Array:
+        parts = x if isinstance(x, (list, tuple)) else [x]
+        cin = sum(int(p.shape[0]) for p in parts)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features), jnp.float32)
+        dt = jnp.dtype(self.dtype)
+        w = kernel[0, 0]                                  # (cin, co)
+        off = 0
+        y = None
+        for p in parts:
+            ck = int(p.shape[0])
+            blk = jax.lax.dot_general(
+                w[off:off + ck].astype(dt), p.astype(dt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (co, M)
+            y = blk if y is None else y + blk
+            off += ck
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias[:, None]
+        return y.astype(dt)
+
+
 class ChwDepthwise3x3(nn.Module):
     """``nn.Conv(C, (3,3), padding='SAME', feature_group_count=C)`` over
     a transposed (C, N*H*W) activation: nine static spatial shifts, each
@@ -181,4 +220,5 @@ class ChwSrConv(nn.Module):
         return y.astype(dt)
 
 
-__all__ = ["ChwLayerNorm", "ChwDense", "ChwDepthwise3x3", "ChwSrConv"]
+__all__ = ["ChwLayerNorm", "ChwDense", "ChwConv1x1", "ChwDepthwise3x3",
+           "ChwSrConv"]

@@ -29,7 +29,7 @@ kernels (reference models.py:14-95's frozen ENet decoder; SURVEY.md §7
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -131,13 +131,53 @@ class FastStemConv2x(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, packed: bool = False,
-                 chw_out: bool = False) -> jax.Array:
+                 chw_out: bool = False,
+                 chw_in_nhw: Optional[Tuple[int, int, int]] = None
+                 ) -> jax.Array:
         """``packed=True`` takes the space-to-depth tensor (N, H/2, W/2,
         4*Cin) directly (lets the caller share one s2d).  ``chw_out=True``
         returns the TRANSPOSED result (features, N*H/2*W/2) — channels on
         sublanes, pixels on lanes — the orientation in which a
         few-channel conv actually fills the MXU (measured 8.7 vs 51.5 us
-        for the RGB stem on the bench v5e, PERF.md round 2b)."""
+        for the RGB stem on the bench v5e, PERF.md round 2b).
+        ``chw_in_nhw=(n, h, w)``: x is already TRANSPOSED (Cin, N*H*W);
+        the space-to-depth happens by pure reshapes of the CHW tensor
+        and the output is transposed too (a fully-(C, pixels) SegFormer
+        stage chain never leaves the orientation)."""
+        if chw_in_nhw is not None:
+            n, h, w = chw_in_nhw
+            cin = x.shape[0]
+            h2, w2 = h // 2, w // 2
+            kernel = self.param("kernel", initializers.lecun_normal(),
+                                (3, 3, cin, self.features), jnp.float32)
+            wp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            rows = []
+            for a in (0, 1):
+                cols = []
+                for b in (0, 1):
+                    blocks = [wp[2 * a + r, 2 * b + s]
+                              for r in (0, 1) for s in (0, 1)]
+                    cols.append(jnp.stack(blocks, axis=0))   # (4, ci, co)
+                rows.append(jnp.stack(cols, axis=0))
+            w2k = jnp.stack(rows, axis=0)                # (2, 2, 4, ci, co)
+            wt = w2k.reshape(16 * cin, self.features).T  # (co, (a,b,r,s,ci))
+            # CHW s2d: (r, s, c) channel order matching the NHWC layout.
+            x6 = x.reshape(cin, n, h2, 2, w2, 2)
+            xp4 = x6.transpose(3, 5, 0, 1, 2, 4).reshape(4 * cin, n, h2, w2)
+            cp = jnp.pad(xp4, ((0, 0), (0, 0), (0, 1), (0, 1)))
+            taps = [cp[:, :, a:a + h2, b:b + w2]
+                    for a in (0, 1) for b in (0, 1)]
+            xcat = jnp.concatenate(taps, axis=0).reshape(16 * cin,
+                                                         n * h2 * w2)
+            y = lax.dot(wt.astype(self.dtype), xcat.astype(self.dtype),
+                        preferred_element_type=jnp.float32)
+            y = y.astype(self.dtype)
+            if self.use_bias:
+                bias = self.param("bias", initializers.zeros_init(),
+                                  (self.features,), jnp.float32)
+                y = y + bias.astype(y.dtype)[:, None]
+            return y                                     # (co, N*H2*W2)
+
         if not packed and (x.shape[1] % 2 or x.shape[2] % 2):
             raise ValueError(
                 f"FastStemConv2x needs even H, W (SAME pad_lo is 0 only "

@@ -30,7 +30,9 @@ import jax.numpy as jnp
 
 from ..ops.pallas.attention import flash_attention, flash_attention_t
 from ..ops.quant import Int8Dense
-from .chw import ChwDense, ChwDepthwise3x3, ChwLayerNorm, ChwSrConv
+from .chw import (ChwConv1x1, ChwDense, ChwDepthwise3x3, ChwLayerNorm,
+                  ChwSrConv)
+from .enet import ChwBatchNorm
 from .fastconv import FastStemConv2x, FastStemConv4x
 
 
@@ -56,11 +58,24 @@ class OverlapPatchEmbed(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array, chw_out: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, chw_out: bool = False,
+                 chw_in_nhw: Optional[Tuple[int, int, int]] = None
+                 ) -> jax.Array:
         """``chw_out=True`` (inference CHW stages) emits the TRANSPOSED
         (features, N*H'*W') embedding — the phase-packed convs produce
         that orientation natively, and the embed LayerNorm runs
-        transposed too.  Identical param tree either way."""
+        transposed too.  ``chw_in_nhw``: x is already transposed
+        (C, N*H*W) from the previous CHW stage (k3s2 embeds only) — the
+        whole chain then never leaves the orientation.  Identical param
+        tree every way."""
+        if chw_in_nhw is not None:
+            if (self.kernel, self.stride) != (3, 2):
+                raise ValueError("chw_in is only for the k3s2 embeds")
+            xt = FastStemConv2x(self.features, use_bias=True,
+                                dtype=self.dtype, name="Conv_0")(
+                                    x, chw_in_nhw=chw_in_nhw)
+            return ChwLayerNorm(self.features, dtype=self.dtype,
+                                name="LayerNorm_0")(xt)
         if chw_out:
             if (self.kernel, self.stride) == (7, 4):
                 xt = FastStemConv4x(self.features, use_bias=True,
@@ -277,6 +292,14 @@ class SegFormer(nn.Module):
     # Measured on the bench v5e, B0@1024²: 10.85 / 8.89 / 6.88 / 5.65 /
     # 5.28 ms at chw_stages = 0..4 — monotone, so default all-stages.
     chw_stages: int = 4
+    # With all four stages transposed, keep the DECODE HEAD transposed
+    # too: stage outputs feed k3s2 embeds via a CHW space-to-depth
+    # (never transposing back), linear_c/fuse/BN/classifier run in
+    # (C, pixels) form, and the 4x-decoder_dim fuse computes as a sum
+    # of per-part matmuls with NO 128 MB concat.  One transpose at the
+    # tiny (classes, H/4*W/4) end.  The per-stage breakdown put 2.93 of
+    # B0's 5.31 ms in embeds+head (PERF.md round 3b).
+    chw_head: bool = True
 
     @classmethod
     def preset(cls, size: str, **overrides) -> "SegFormer":
@@ -295,7 +318,10 @@ class SegFormer(nn.Module):
         x = x.astype(dt)
         n, h0, w0, _ = x.shape
 
-        feats = []
+        full_chw = (not train) and self.chw_stages >= 4 and self.chw_head
+
+        feats = []      # NHWC (stock / partial-chw path)
+        feats_t = []    # (xt, (h, w)) — fully-transposed path
         h, w = h0, w0
         for s in range(4):
             k, stride = (7, 4) if s == 0 else (3, 2)
@@ -303,17 +329,28 @@ class SegFormer(nn.Module):
             c = self.widths[s]
             chw = (not train) and s < self.chw_stages
             if chw:
-                xt = OverlapPatchEmbed(c, k, stride, dtype=dt,
-                                       name=f"embed{s}")(x, chw_out=True)
+                if full_chw and s > 0:
+                    # previous stage left xt transposed: CHW-in embed
+                    xt = OverlapPatchEmbed(
+                        c, k, stride, dtype=dt, name=f"embed{s}")(
+                            xt, chw_in_nhw=(n, h * stride, w * stride))
+                else:
+                    xt = OverlapPatchEmbed(c, k, stride, dtype=dt,
+                                           name=f"embed{s}")(x,
+                                                             chw_out=True)
                 for b in range(self.depths[s]):
                     xt = Block(c, self.num_heads[s], self.sr_ratios[s],
                                dtype=dt, quant=self.quant,
                                name=f"stage{s}_block{b}")(xt, (h, w),
                                                           chw_n=n)
                 xt = ChwLayerNorm(c, dtype=dt, name=f"norm{s}")(xt)
-                # The single relayout of the stage: back to NHWC for the
-                # next embed and the decode head.
-                x = xt.T.reshape(n, h, w, c)
+                if full_chw:
+                    feats_t.append((xt, (h, w)))
+                else:
+                    # The single relayout of the stage: back to NHWC
+                    # for the next embed and the decode head.
+                    x = xt.T.reshape(n, h, w, c)
+                    feats.append(x)
             else:
                 x = OverlapPatchEmbed(c, k, stride, dtype=dt,
                                       name=f"embed{s}")(x)
@@ -326,7 +363,34 @@ class SegFormer(nn.Module):
                                  param_dtype=jnp.float32,
                                  name=f"norm{s}")(x).astype(dt)
                 x = x.reshape(n, h, w, c)
-            feats.append(x)
+                feats.append(x)
+
+        if full_chw:
+            # Transposed all-MLP head: per-stage projection, CHW-form
+            # bilinear upsample to 1/4 res, concat-free split fuse, BN,
+            # classifier — one transpose at (classes, H/4*W/4).
+            th, tw = feats_t[0][1]
+            parts = []
+            for s, (ft, (hs, ws)) in enumerate(feats_t):
+                p = ChwDense(self.decoder_dim, quant=self.quant, dtype=dt,
+                             name=f"linear_c{s}")(ft)
+                if (hs, ws) != (th, tw):
+                    p = jax.image.resize(
+                        p.reshape(self.decoder_dim, n, hs, ws),
+                        (self.decoder_dim, n, th, tw), method="bilinear")
+                parts.append(p.reshape(self.decoder_dim, n * th * tw)
+                             .astype(dt))
+            y = ChwConv1x1(self.decoder_dim, use_bias=False, dtype=dt,
+                           name="fuse")(parts[::-1])
+            y = ChwBatchNorm(self.decoder_dim, epsilon=1e-5, dtype=dt,
+                             name="fuse_bn")(y)
+            y = nn.relu(y)
+            y = ChwConv1x1(self.num_classes, use_bias=True, dtype=dt,
+                           name="classifier")(y)
+            y = y.T.reshape(n, th, tw, self.num_classes)
+            return jax.image.resize(
+                y.astype(jnp.float32), (n, h0, w0, self.num_classes),
+                method="bilinear")
 
         # All-MLP head: project every stage to decoder_dim, upsample to 1/4,
         # concat, fuse, classify.

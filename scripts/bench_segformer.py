@@ -24,6 +24,9 @@ def main() -> None:
     ap.add_argument("--stages", type=int, nargs="+", default=(0, 1, 2, 3, 4))
     ap.add_argument("--iters", type=int, nargs=2, default=(8, 24))
     ap.add_argument("--quant", action="store_true")
+    ap.add_argument("--head", type=int, nargs="+", default=(1,),
+                    help="chw_head values to sweep (fully-transposed "
+                         "decode head; only active at chw_stages=4)")
     args = ap.parse_args()
 
     import jax
@@ -71,9 +74,12 @@ def main() -> None:
         return (ts[1] - ts[0]) / (args.iters[1] - args.iters[0]) * 1e3
 
     for k in args.stages:
-        m = SegFormer.preset(args.size, quant=args.quant, chw_stages=k)
-        t = slope(m)
-        print(f"chw_stages={k}: {t:.2f} ms/frame ({1e3 / t:.1f} fps)")
+        for hd in args.head:
+            m = SegFormer.preset(args.size, quant=args.quant, chw_stages=k,
+                                 chw_head=bool(hd))
+            t = slope(m)
+            print(f"chw_stages={k} head={hd}: {t:.2f} ms/frame "
+                  f"({1e3 / t:.1f} fps)")
 
 
 if __name__ == "__main__":

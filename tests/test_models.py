@@ -176,15 +176,19 @@ class TestEngine:
         assert seg.shape == (h, w)
         assert set(np.unique(seg)) <= {0, 1, 2}
 
-    @pytest.mark.parametrize("stages", [1, 2, 4])
-    def test_segformer_chw_stages_parity(self, rng, stages):
+    @pytest.mark.parametrize("stages,head", [(1, False), (2, False),
+                                             (4, False), (4, True)])
+    def test_segformer_chw_stages_parity(self, rng, stages, head):
         # The transposed (C, pixels) stage path (PERF.md round-3 item):
         # identical variable tree, same numbers as the NHWC path.
+        # (4, True) is the fully-transposed chain incl. the concat-free
+        # decode head (PERF.md round 3b) — the shipping default.
         from bugcar_image_segmentation_tpu.models.segformer import SegFormer
 
         x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
         m0 = SegFormer(num_classes=5, dtype=jnp.float32, chw_stages=0)
-        mk = SegFormer(num_classes=5, dtype=jnp.float32, chw_stages=stages)
+        mk = SegFormer(num_classes=5, dtype=jnp.float32, chw_stages=stages,
+                       chw_head=head)
         v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
         vk = mk.init(jax.random.PRNGKey(0), x, train=False)
         assert (jax.tree_util.tree_structure(v0)

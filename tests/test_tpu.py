@@ -216,13 +216,14 @@ class TestOnChip:
         np.testing.assert_array_equal(y1, y2)
 
     def test_segformer_b0_chw_forward_smoke_on_chip(self, rng):
-        """SegFormer-B0 with the transposed stage path (chw_stages=2) on
-        the chip at a reduced resolution: finite logits, agrees with the
-        NHWC path within bf16 budget."""
+        """SegFormer-B0 on the shipping default path (chw_stages=4 with
+        the fully-transposed concat-free decode head, PERF.md round 3b)
+        on the chip at a reduced resolution: finite logits, agrees with
+        the NHWC path within bf16 budget."""
         from bugcar_image_segmentation_tpu.models.segformer import SegFormer
 
         x = jnp.asarray(rng.normal(size=(1, 128, 128, 3)), jnp.float32)
-        m_chw = SegFormer(num_classes=15, chw_stages=2)
+        m_chw = SegFormer(num_classes=15)
         m_ref = SegFormer(num_classes=15, chw_stages=0)
         v = m_chw.init(jax.random.PRNGKey(0), x, train=False)
         y_chw = np.asarray(jax.jit(
