@@ -178,10 +178,33 @@ def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+def _attn_kernel_t_single(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """One-shot transposed kernel for the whole-KV-in-one-block case.
+
+    Every SegFormer stage at 1024² reduces its KV to ≤1024 tokens (the
+    SR conv), so the (d, nkv) K/V tiles fit VMEM outright and the
+    online-softmax recurrence of :func:`_attn_kernel_t` — scratch
+    init/rescale per kv step plus the final divide — collapses to one
+    straight softmax between two matmuls.  Measured vs the blocked
+    kernel on the stage shapes in PERF.md round 3b."""
+    q = q_ref[0].astype(jnp.float32) * scale          # (d, bq)
+    k = k_ref[0].astype(jnp.float32)                  # (d, nkv)
+    v = v_ref[0].astype(jnp.float32)                  # (d, nkv)
+    s = jax.lax.dot_general(k, q, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (nkv, bq)
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m)                                 # (nkv, bq)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    o = jax.lax.dot_general(v, p, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (d, bq)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_kv",
                                              "interpret"))
 def flash_attention_t(q: jax.Array, k: jax.Array, v: jax.Array,
-                      block_q: int = 512, block_kv: int = 256,
+                      block_q: Optional[int] = None,
+                      block_kv: Optional[int] = None,
                       interpret: Optional[bool] = None) -> jax.Array:
     """:func:`flash_attention` over TRANSPOSED operands.
 
@@ -189,6 +212,12 @@ def flash_attention_t(q: jax.Array, k: jax.Array, v: jax.Array,
       q: (B, H, d, Nq) — head channels on the sublane dim, tokens on the
         lane dim (the (C, pixels) orientation; PERF.md round 2b).
       k/v: (B, H, d, Nkv).
+      block_q/block_kv: VMEM tile sizes; None = auto.  The auto pick is
+        from the measured v5e sweep (PERF.md round 3b): whole KV in one
+        block whenever it fits VMEM (single-pass kernel, no recurrence)
+        and the largest q block the score tile leaves room for — on the
+        SegFormer stage shapes (Nkv=1024 post-SR) that beat the old
+        (512, 256) default 2.05x at stage 0.
 
     Returns:
       (B, H, d, Nq) in q's dtype.  Same math as ``flash_attention`` on
@@ -198,6 +227,15 @@ def flash_attention_t(q: jax.Array, k: jax.Array, v: jax.Array,
     nkv = k.shape[3]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    if block_kv is None:
+        # Whole KV in one block up to 2048 tokens (k+v tiles stay <1 MB
+        # for d<=64) -> single-pass kernel; blocked at 256 beyond.
+        block_kv = nkv if nkv <= 2048 else 256
+    if block_q is None:
+        # Bound the f32 score tile (block_kv x block_q) to ~8 MB of the
+        # 16 MB VMEM, capped at 2048 (the sweep's winner at every Nq).
+        block_q = max(256, min(2048, (8 * 1024 * 1024 // 4) // block_kv))
 
     bq = _pick_block(nq, block_q)
     bkv = _pick_block(nkv, block_kv)
@@ -212,6 +250,24 @@ def flash_attention_t(q: jax.Array, k: jax.Array, v: jax.Array,
         raise RuntimeError(
             "jax.experimental.pallas.tpu unavailable — flash_attention_t "
             "requires it even in interpret mode")
+
+    if bkv == nkv:
+        # Whole KV in one block: single-pass kernel, no scratch, no
+        # online-softmax recurrence (see _attn_kernel_t_single).
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel_t_single, scale=scale),
+            grid=(b * h, nq // bq),
+            in_specs=[
+                pl.BlockSpec((1, d, bq), lambda bh, i: (bh, 0, i)),
+                pl.BlockSpec((1, d, nkv), lambda bh, i: (bh, 0, 0)),
+                pl.BlockSpec((1, d, nkv), lambda bh, i: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, d, bq), lambda bh, i: (bh, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((b * h, d, nq), q.dtype),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out.reshape(b, h, d, nq)
+
     scratch = [
         pltpu.VMEM((1, bq), jnp.float32),
         pltpu.VMEM((1, bq), jnp.float32),

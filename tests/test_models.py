@@ -269,6 +269,10 @@ class TestFlashAttention:
         (128, 128, 64, 64),
         (128, 96, 64, 32),
         (100, 80, 64, 32),
+        # bkv == nkv: the single-pass no-recurrence kernel
+        # (_attn_kernel_t_single, PERF.md round 3b).
+        (128, 96, 64, 96),
+        (256, 128, 256, 128),
     ])
     def test_transposed_matches_naive(self, rng, nq, nkv, bq, bkv):
         # flash_attention_t takes/returns (B, H, d, N) — the (C, pixels)

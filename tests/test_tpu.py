@@ -140,6 +140,14 @@ class TestOnChip:
             v.astype(jnp.float32)))
         err = np.abs(out - ref).max()
         assert err <= 3e-2, f"max |flash_t - dense| = {err}"
+        # Auto blocks take the single-pass kernel here (nkv=1024); also
+        # pin the blocked recurrence kernel under real Mosaic.
+        out_b = np.asarray(flash_attention_t(
+            q.transpose(0, 1, 3, 2), k.transpose(0, 1, 3, 2),
+            v.transpose(0, 1, 3, 2), block_q=512, block_kv=256,
+            interpret=False).transpose(0, 1, 3, 2)).astype(np.float32)
+        err_b = np.abs(out_b - ref).max()
+        assert err_b <= 3e-2, f"max |flash_t blocked - dense| = {err_b}"
 
     def test_fused_bottleneck_kernel_on_real_mosaic(self, rng):
         """The whole-bottleneck Pallas kernel under real Mosaic (the CPU
