@@ -368,7 +368,14 @@ class SegFormer(nn.Module):
         if full_chw:
             # Transposed all-MLP head: per-stage projection, CHW-form
             # bilinear upsample to 1/4 res, concat-free split fuse, BN,
-            # classifier — one transpose at (classes, H/4*W/4).
+            # classifier — one transpose at (classes, H/4*W/4).  The
+            # final ×4 stays jax.image.resize in NHWC: a measured A/B of
+            # four strategies (NHWC resize 0.77 ms / CHW resize+T 0.79 /
+            # CHW phase-blend+T 1.07 / phase-channels+d2s 2.00 — PERF.md
+            # round 3b) showed the phase-decomposed upsample loses to
+            # resize-as-matmul here (the lane-dim interleave relayout
+            # dominates), so ops/resize.upsample_bilinear_int is NOT
+            # used on this path.
             th, tw = feats_t[0][1]
             parts = []
             for s, (ft, (hs, ws)) in enumerate(feats_t):

@@ -4,6 +4,7 @@ import cv2
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from bugcar_image_segmentation_tpu.ops import morphology, polar, resize, warp
@@ -149,6 +150,18 @@ class TestResize:
                                                     (256, 512)))
         diff = np.abs(ref.astype(int) - ours.astype(int))
         assert diff.max() <= 1, f"max diff {diff.max()}"
+
+    @pytest.mark.parametrize("factor", [2, 3, 4, 8])
+    @pytest.mark.parametrize("shape", [(2, 5, 16, 16), (15, 1, 7, 9)])
+    def test_phase_upsample_matches_jax_image(self, rng, factor, shape):
+        # The phase-decomposed upsample (SegFormer decode head) must be
+        # numerically identical to jax.image.resize bilinear upsampling.
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        got = np.asarray(resize.upsample_bilinear_int(x, factor))
+        want = np.asarray(jax.image.resize(
+            x, shape[:2] + (shape[2] * factor, shape[3] * factor),
+            method="bilinear"))
+        np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 class TestPolar:
