@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import ModelConfig
+from ..ops.resize import upsample_nearest_int
 from . import preprocess as pre
 from . import remap
 
@@ -87,31 +88,52 @@ class Engine:
         x = pre.preprocess_for_config(frames_bgr, self.cfg)
         return self.apply_fn(variables, x, train=False)
 
+    def _to_input_res(self, labels: jax.Array) -> jax.Array:
+        """Lift a reduced-resolution LABEL map back to input resolution.
+
+        Backbones may emit logits below input resolution (SegFormer
+        ``head_upsample="quarter"`` skips the f32 ×4 logits upsample);
+        the argmax then runs at that resolution and the uint8 labels are
+        nearest-replicated here — inside the same jitted program — so
+        ``predict``'s output contract (input-resolution map, reference
+        models.py:42-69) holds for every backbone.
+        """
+        h, w = labels.shape[-2], labels.shape[-1]
+        ih, iw = self.cfg.input_height, self.cfg.input_width
+        if (h, w) == (ih, iw):
+            return labels
+        if ih % h or iw % w or ih // h != iw // w:
+            raise ValueError(
+                f"model label map {(h, w)} is not an integer factor of "
+                f"the input resolution {(ih, iw)}")
+        return upsample_nearest_int(labels, ih // h)
+
     def _logits_impl(self, variables: dict,
                      frames_bgr: jax.Array) -> jax.Array:
         return self._forward(variables, frames_bgr)
 
     def _predict_impl(self, variables: dict,
                       frames_bgr: jax.Array) -> jax.Array:
-        return remap.logits_to_drivability(
-            self._forward(variables, frames_bgr), self.remap_table)
+        return self._to_input_res(remap.logits_to_drivability(
+            self._forward(variables, frames_bgr), self.remap_table))
 
     def _predict_binary_impl(self, variables: dict,
                              frames_bgr: jax.Array) -> jax.Array:
-        return remap.logits_to_binary_road(
-            self._forward(variables, frames_bgr))
+        return self._to_input_res(remap.logits_to_binary_road(
+            self._forward(variables, frames_bgr)))
 
     def _predict_pre_impl(self, variables: dict, x: jax.Array) -> jax.Array:
         # From an already-preprocessed NHWC batch (the reference's
         # predict() contract, models.py:42 — preprocess was a separate
         # host step there).
         logits = self.apply_fn(variables, x, train=False)
-        return remap.logits_to_drivability(logits, self.remap_table)
+        return self._to_input_res(
+            remap.logits_to_drivability(logits, self.remap_table))
 
     def _predict_pre_binary_impl(self, variables: dict,
                                  x: jax.Array) -> jax.Array:
         logits = self.apply_fn(variables, x, train=False)
-        return remap.logits_to_binary_road(logits)
+        return self._to_input_res(remap.logits_to_binary_road(logits))
 
     # -- public API (reference models.py:42/70 equivalents) ------------------
 
@@ -193,20 +215,28 @@ def build_engine(name: str = "enet",
                                    dtype=jnp.dtype(cfg.dtype))
     elif name == "segformer" or name.startswith("segformer_"):
         from .segformer import SEGFORMER_PRESETS, SegFormer
-        # "segformer", "segformer_b2", "segformer_b2_int8", and bare
-        # "segformer_int8" (= B0 + int8; W8A8 MXU path — same param tree
-        # as the float variant, see ops/quant.py).
-        quant = name.endswith("_int8")
-        base = name[:-len("_int8")] if quant else name
-        size = base.split("_", 1)[1] if "_" in base else "b0"
-        if size not in SEGFORMER_PRESETS:
+        # Name grammar: "segformer[_bN][_q][_int8]" with the flags in any
+        # order — e.g. "segformer_b2", "segformer_int8" (B0 + int8 W8A8
+        # MXU path, same param tree as float: ops/quant.py),
+        # "segformer_b0_q" (quarter-resolution head: argmax at 1/4 res +
+        # nearest label replication, skipping the f32 logits upsample —
+        # models/segformer.py head_upsample), "segformer_b3_q_int8".
+        tokens = name.split("_")[1:]
+        quant = "int8" in tokens
+        quarter = "q" in tokens
+        rest = [t for t in tokens if t not in ("int8", "q")]
+        if len(rest) > 1 or (rest and rest[0] not in SEGFORMER_PRESETS):
             raise ValueError(
-                f"unknown SegFormer size {size!r}; "
-                f"have {sorted(SEGFORMER_PRESETS)}")
+                f"unknown SegFormer variant {name!r}; grammar is "
+                f"segformer[_size][_q][_int8] with size in "
+                f"{sorted(SEGFORMER_PRESETS)}")
+        size = rest[0] if rest else "b0"
         cfg = cfg or ModelConfig(name=name, input_width=1024,
                                  input_height=1024, num_classes=15)
-        module = SegFormer.preset(size, num_classes=cfg.num_classes,
-                                  dtype=jnp.dtype(cfg.dtype), quant=quant)
+        module = SegFormer.preset(
+            size, num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype),
+            quant=quant,
+            head_upsample="quarter" if quarter else "full")
     else:
         raise ValueError(f"unknown model {name!r}")
     return Engine(module, cfg, variables=variables, apply_fn=apply_fn)

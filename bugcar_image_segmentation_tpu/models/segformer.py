@@ -300,6 +300,16 @@ class SegFormer(nn.Module):
     # tiny (classes, H/4*W/4) end.  The per-stage breakdown put 2.93 of
     # B0's 5.31 ms in embeds+head (PERF.md round 3b).
     chw_head: bool = True
+    # "full" (default): logits bilinearly upsampled to input resolution —
+    # the textbook SegFormer head and the parity semantics.  "quarter":
+    # return logits at the head's native 1/4 resolution and let the
+    # consumer argmax there (Engine/Pipeline then nearest-replicate the
+    # uint8 LABELS to input res) — skips the f32 ×4 logits upsample
+    # (~63 MB HBM write at 1024², 0.77 ms) and shrinks the argmax read
+    # 16x.  Differs from "full" only where bilinear blending flips the
+    # argmax near class boundaries (the same trade as the grid's
+    # interpolation="native"); engine name suffix ``_q``.
+    head_upsample: str = "full"
 
     @classmethod
     def preset(cls, size: str, **overrides) -> "SegFormer":
@@ -314,6 +324,10 @@ class SegFormer(nn.Module):
             raise ValueError(
                 f"SegFormer needs NHWC input with H, W divisible by 32 "
                 f"(4 stages of patch merging); got {x.shape}")
+        if self.head_upsample not in ("full", "quarter"):
+            raise ValueError(
+                f"head_upsample must be 'full' or 'quarter', "
+                f"got {self.head_upsample!r}")
         dt = self.dtype
         x = x.astype(dt)
         n, h0, w0, _ = x.shape
@@ -395,6 +409,8 @@ class SegFormer(nn.Module):
             y = ChwConv1x1(self.num_classes, use_bias=True, dtype=dt,
                            name="classifier")(y)
             y = y.T.reshape(n, th, tw, self.num_classes)
+            if self.head_upsample == "quarter":
+                return y.astype(jnp.float32)
             return jax.image.resize(
                 y.astype(jnp.float32), (n, h0, w0, self.num_classes),
                 method="bilinear")
@@ -420,6 +436,8 @@ class SegFormer(nn.Module):
         y = nn.relu(y)
         y = nn.Conv(self.num_classes, (1, 1), dtype=dt,
                     param_dtype=jnp.float32, name="classifier")(y)
+        if self.head_upsample == "quarter" and not train:
+            return y.astype(jnp.float32)
         return jax.image.resize(
             y.astype(jnp.float32), (n, h0, w0, self.num_classes),
             method="bilinear")

@@ -113,6 +113,30 @@ def _up_axis(x: jax.Array, f: int, axis: int) -> jax.Array:
     return y.reshape(shape)
 
 
+def upsample_nearest_int(x: jax.Array, factor: int) -> jax.Array:
+    """Integer-factor nearest upsample of the trailing (H, W) axes by
+    exact pixel replication — a broadcast + reshape, no gather.
+
+    For integer factors this is bit-identical to both
+    ``cv2.resize(..., INTER_NEAREST)`` and
+    ``jax.image.resize(method="nearest")``: every destination block of
+    ``factor``² pixels maps to the single source pixel it covers.  Used
+    to lift quarter-resolution LABEL maps (SegFormer
+    ``head_upsample="quarter"``) back to input resolution — replicating
+    1 B/px labels instead of bilinearly upsampling 60 B/px f32 logits
+    (the resize role of reference models.py:87,129, moved to after the
+    argmax).
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    if factor == 1:
+        return x
+    h, w = x.shape[-2], x.shape[-1]
+    y = jnp.broadcast_to(x[..., :, None, :, None],
+                         x.shape[:-2] + (h, factor, w, factor))
+    return y.reshape(x.shape[:-2] + (h * factor, w * factor))
+
+
 def upsample_bilinear_int(x: jax.Array, factor: int) -> jax.Array:
     """Integer-factor bilinear upsample of the trailing (H, W) axes,
     exactly matching ``jax.image.resize(method="bilinear")`` (half-pixel
@@ -138,4 +162,4 @@ def upsample_bilinear_int(x: jax.Array, factor: int) -> jax.Array:
 
 
 __all__ = ["resize_nearest", "resize_bilinear", "resize_bilinear_u8",
-           "upsample_bilinear_int"]
+           "upsample_nearest_int", "upsample_bilinear_int"]

@@ -113,6 +113,12 @@ class Pipeline:
                                                   engine.remap_table)[0]
             else:
                 seg = remap.logits_to_binary_road(logits)[0]
+            # Reduced-resolution heads (SegFormer head_upsample="quarter")
+            # argmax below input res; replicate the uint8 LABELS back up
+            # so the calibrated warp/contour stages see the resolution
+            # the homography was solved for (engine._to_input_res
+            # rationale — 1 B/px labels instead of 60 B/px f32 logits).
+            seg = engine._to_input_res(seg)
             if contour_filter:
                 # Footwell-connectivity road filtering (reference
                 # image_processing_utils.py:4-44), device-side.  Road
@@ -335,7 +341,8 @@ class MultiCameraPipeline:
 
         def run(variables: dict, frames_bgr: jax.Array) -> jax.Array:
             logits = engine._forward(variables, frames_bgr)
-            segs = remap.logits_to_drivability(logits, engine.remap_table)
+            segs = engine._to_input_res(
+                remap.logits_to_drivability(logits, engine.remap_table))
             grids = [b.build(segs[k]) for k, b in enumerate(self.builders)]
             return stitch_grids(jnp.stack(grids))
 

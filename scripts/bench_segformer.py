@@ -27,6 +27,16 @@ def main() -> None:
     ap.add_argument("--head", type=int, nargs="+", default=(1,),
                     help="chw_head values to sweep (fully-transposed "
                          "decode head; only active at chw_stages=4)")
+    ap.add_argument("--path", choices=("forward", "predict"),
+                    default="forward",
+                    help="'predict' measures the serving epilogue too: "
+                         "argmax+remap (+ nearest label lift for the "
+                         "quarter head) as in Engine.predict")
+    ap.add_argument("--upsample", nargs="+", default=("full",),
+                    choices=("full", "quarter"),
+                    help="head_upsample values to sweep (quarter = "
+                         "1/4-res logits, labels nearest-replicated; "
+                         "only meaningful with --path predict)")
     args = ap.parse_args()
 
     import jax
@@ -50,12 +60,32 @@ def main() -> None:
     print(f"[bench_segformer] {args.size}{'+int8' if args.quant else ''} "
           f"@ {r}x{r} on {jax.devices()[0].device_kind}", file=sys.stderr)
 
+    from bugcar_image_segmentation_tpu.models import remap
+    from bugcar_image_segmentation_tpu.ops.resize import upsample_nearest_int
+    table = remap.remap_table()
+
     def slope(module):
-        @jax.jit
-        def step(variables, x):
-            y = module.apply(variables, x, train=False)
-            p = jnp.tanh(jnp.mean(y, axis=-1, keepdims=True)) * 0.01
-            return jnp.clip(x + p, 0.0, 1.0)
+        if args.path == "predict":
+            # Serving path: logits -> argmax+remap (quarter heads then
+            # nearest-replicate the uint8 labels to input res, as
+            # Engine._to_input_res does).  The label mean feeds the next
+            # frame so the chain stays serially dependent.
+            @jax.jit
+            def step(variables, x):
+                y = module.apply(variables, x, train=False)
+                lab = remap.logits_to_drivability(y, table)
+                if lab.shape[-1] != r:
+                    lab = upsample_nearest_int(lab, r // lab.shape[-1])
+                p = (jnp.mean(lab.astype(jnp.float32)) - 1.0) * 0.003
+                return jnp.clip(x + p, 0.0, 1.0)
+        else:
+            @jax.jit
+            def step(variables, x):
+                y = module.apply(variables, x, train=False)
+                p = jnp.tanh(jnp.mean(y, axis=-1, keepdims=True)) * 0.01
+                if p.shape[1] != x.shape[1]:   # quarter head: broadcast
+                    p = jnp.mean(p)
+                return jnp.clip(x + p, 0.0, 1.0)
 
         def run(n):
             c = step(v, x0)
@@ -75,11 +105,29 @@ def main() -> None:
 
     for k in args.stages:
         for hd in args.head:
-            m = SegFormer.preset(args.size, quant=args.quant, chw_stages=k,
-                                 chw_head=bool(hd))
-            t = slope(m)
-            print(f"chw_stages={k} head={hd}: {t:.2f} ms/frame "
-                  f"({1e3 / t:.1f} fps)")
+            for up in args.upsample:
+                m = SegFormer.preset(args.size, quant=args.quant,
+                                     chw_stages=k, chw_head=bool(hd),
+                                     head_upsample=up)
+                t = slope(m)
+                print(f"chw_stages={k} head={hd} up={up} "
+                      f"path={args.path}: {t:.2f} ms/frame "
+                      f"({1e3 / t:.1f} fps)")
+
+    if set(args.upsample) >= {"full", "quarter"}:
+        # Label disagreement full vs quarter on one frame (boundary
+        # flips only; random weights = worst case for argmax stability).
+        mf = SegFormer.preset(args.size, quant=args.quant,
+                              head_upsample="full")
+        mq = SegFormer.preset(args.size, quant=args.quant,
+                              head_upsample="quarter")
+        lf = remap.logits_to_drivability(
+            jax.jit(lambda v, x: mf.apply(v, x, train=False))(v, x0), table)
+        lq = upsample_nearest_int(remap.logits_to_drivability(
+            jax.jit(lambda v, x: mq.apply(v, x, train=False))(v, x0),
+            table), 4)
+        d = float(jnp.mean((lf != lq).astype(jnp.float32)))
+        print(f"label disagreement full vs quarter: {d:.4%}")
 
 
 if __name__ == "__main__":

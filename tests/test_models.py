@@ -241,8 +241,59 @@ class TestEngine:
         assert b2.decoder_dim == 768
         assert b2.num_classes == 7
         assert set(SEGFORMER_PRESETS) == {"b0", "b1", "b2", "b3"}
-        with pytest.raises(ValueError, match="unknown SegFormer size"):
+        with pytest.raises(ValueError, match="unknown SegFormer"):
             build_engine("segformer_b9")
+        with pytest.raises(ValueError, match="unknown SegFormer"):
+            build_engine("segformer_b0_b1")
+
+    def test_segformer_quarter_head(self, rng):
+        # head_upsample="quarter" returns the head's native 1/4-res
+        # logits; the full path is EXACTLY bilinear-resize of those
+        # (the final resize is the only difference).  Training always
+        # emits full resolution.
+        from bugcar_image_segmentation_tpu.models.segformer import SegFormer
+
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        mf = SegFormer(num_classes=5, dtype=jnp.float32)
+        mq = SegFormer(num_classes=5, dtype=jnp.float32,
+                       head_upsample="quarter")
+        v = mf.init(jax.random.PRNGKey(0), x, train=False)
+        yf = mf.apply(v, x, train=False)
+        yq = mq.apply(v, x, train=False)
+        assert yq.shape == (1, 16, 16, 5)
+        np.testing.assert_allclose(
+            np.asarray(jax.image.resize(yq, yf.shape, method="bilinear")),
+            np.asarray(yf), atol=1e-5)
+        yt, _ = mq.apply(v, x, train=True, mutable=["batch_stats"])
+        assert yt.shape == (1, 64, 64, 5)
+        with pytest.raises(ValueError, match="head_upsample"):
+            SegFormer(head_upsample="half").apply(v, x, train=False)
+
+    def test_segformer_q_engine_contract(self, rng):
+        # The _q engine keeps predict()'s input-resolution contract by
+        # nearest-replicating the quarter-res LABELS (models/api.py
+        # _to_input_res); the labels must be exactly the replication of
+        # the quarter-res argmax+remap.
+        from bugcar_image_segmentation_tpu.models import remap
+        from bugcar_image_segmentation_tpu.ops.resize import (
+            upsample_nearest_int)
+
+        cfg = ModelConfig(name="segformer_b0_q", input_width=64,
+                          input_height=64, num_classes=15, dtype="float32")
+        eng = build_engine("segformer_b0_q", cfg)
+        frame = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        seg = np.asarray(eng.predict(frame))
+        assert seg.shape == (64, 64)
+        assert set(np.unique(seg)) <= {0, 1, 2}
+        logits = eng.logits(frame)
+        assert logits.shape == (16, 16, 15)
+        want = upsample_nearest_int(
+            remap.logits_to_drivability(logits, eng.remap_table), 4)
+        np.testing.assert_array_equal(seg, np.asarray(want))
+        # binary path honors the same contract
+        binary = np.asarray(eng.predict_binary(frame))
+        assert binary.shape == (64, 64)
+        assert set(np.unique(binary)) <= {0, 1}
 
 
 # ---------------------------------------------------------------------------

@@ -151,6 +151,28 @@ class TestResize:
         diff = np.abs(ref.astype(int) - ours.astype(int))
         assert diff.max() <= 1, f"max diff {diff.max()}"
 
+    @pytest.mark.parametrize("factor", [2, 4, 5])
+    def test_nearest_upsample_matches_cv2_and_jax(self, rng, factor):
+        # Integer-factor nearest replication (quarter-res label lift)
+        # must be bit-identical to BOTH cv2 INTER_NEAREST and
+        # jax.image.resize nearest.
+        x = rng.integers(0, 3, size=(13, 17), dtype=np.uint8)
+        got = np.asarray(resize.upsample_nearest_int(jnp.asarray(x), factor))
+        ref_cv = cv2.resize(x, (17 * factor, 13 * factor),
+                            interpolation=cv2.INTER_NEAREST)
+        ref_jax = np.asarray(jax.image.resize(
+            jnp.asarray(x), (13 * factor, 17 * factor), method="nearest"))
+        np.testing.assert_array_equal(got, ref_cv)
+        np.testing.assert_array_equal(got, ref_jax)
+        # batched form replicates per image
+        xb = rng.integers(0, 3, size=(2, 5, 6), dtype=np.uint8)
+        gotb = np.asarray(resize.upsample_nearest_int(jnp.asarray(xb), factor))
+        for k in range(2):
+            np.testing.assert_array_equal(
+                gotb[k],
+                np.asarray(resize.upsample_nearest_int(jnp.asarray(xb[k]),
+                                                       factor)))
+
     @pytest.mark.parametrize("factor", [2, 3, 4, 8])
     @pytest.mark.parametrize("shape", [(2, 5, 16, 16), (15, 1, 7, 9)])
     def test_phase_upsample_matches_jax_image(self, rng, factor, shape):
