@@ -194,25 +194,31 @@ def build_engine(name: str = "enet",
         cfg = cfg or ModelConfig(name="enet_fused")
         module = ENet(num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype))
         apply_fn = FusedENetApply(cfg.num_classes, jnp.dtype(cfg.dtype))
-    elif name == "deeplab":
+    elif name in ("deeplab", "deeplab_q"):
+        # "_q": quarter-resolution head — inference logits stay at the
+        # decoder's native 1/4 res; Engine nearest-lifts the uint8
+        # labels (same scheme as segformer_*_q, PERF.md round 3c).
         from .deeplab import DeepLabV3
-        cfg = cfg or ModelConfig(name="deeplab", input_width=1024,
+        cfg = cfg or ModelConfig(name=name, input_width=1024,
                                  input_height=512, num_classes=15)
-        module = DeepLabV3(num_classes=cfg.num_classes,
-                           dtype=jnp.dtype(cfg.dtype))
+        module = DeepLabV3(
+            num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype),
+            head_upsample="quarter" if name.endswith("_q") else "full")
     elif name == "unet":
         from .unet import UNet
         cfg = cfg or ModelConfig(name="unet", input_width=512,
                                  input_height=256, num_classes=15)
         module = UNet(num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype))
-    elif name in ("deeplab_xception", "xception"):
+    elif name in ("deeplab_xception", "xception",
+                  "deeplab_xception_q", "xception_q"):
         # Architecture-faithful twin of the actual deeplab.pb export
         # (Xception-65 backbone) — the variant the real blob pours into.
         from .xception import Xception65DeepLab
         cfg = cfg or ModelConfig(name="deeplab_xception", input_width=1024,
                                  input_height=512, num_classes=15)
-        module = Xception65DeepLab(num_classes=cfg.num_classes,
-                                   dtype=jnp.dtype(cfg.dtype))
+        module = Xception65DeepLab(
+            num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype),
+            head_upsample="quarter" if name.endswith("_q") else "full")
     elif name == "segformer" or name.startswith("segformer_"):
         from .segformer import SEGFORMER_PRESETS, SegFormer
         # Name grammar: "segformer[_bN][_q][_int8]" with the flags in any

@@ -144,6 +144,12 @@ class DeepLabV3(nn.Module):
     num_classes: int = 15
     width_mult: float = 1.0
     dtype: Any = jnp.bfloat16
+    # "quarter": inference returns logits at the decoder's native 1/4
+    # resolution and Engine nearest-replicates the uint8 LABELS to input
+    # res (models/api.py _to_input_res) — skipping the f32 x4 logits
+    # upsample (31 MB written at 1024x512), same scheme as SegFormer's
+    # quarter head (PERF.md round 3c).  Training always emits full res.
+    head_upsample: str = "full"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -151,6 +157,10 @@ class DeepLabV3(nn.Module):
             raise ValueError(
                 f"DeepLabV3 needs NHWC input with H, W divisible by 16 "
                 f"(output stride); got {x.shape}")
+        if self.head_upsample not in ("full", "quarter"):
+            raise ValueError(
+                f"head_upsample must be 'full' or 'quarter', "
+                f"got {self.head_upsample!r}")
         dt = self.dtype
         x = x.astype(dt)
         h, w = x.shape[1], x.shape[2]
@@ -194,6 +204,8 @@ class DeepLabV3(nn.Module):
         y = ConvBN(256, (3, 3), dtype=dt, name="dec1")(y, train)
         y = nn.Conv(self.num_classes, (1, 1), dtype=dt,
                     param_dtype=jnp.float32, name="classifier")(y)
+        if self.head_upsample == "quarter" and not train:
+            return y.astype(jnp.float32)
         return _upsample(y.astype(jnp.float32), (h, w))
 
 

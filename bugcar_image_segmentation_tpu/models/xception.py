@@ -119,6 +119,9 @@ class Xception65DeepLab(nn.Module):
     num_classes: int = 15
     middle_blocks: int = 16
     dtype: Any = jnp.bfloat16
+    # "quarter": inference logits at the decoder's native 1/4 res (labels
+    # nearest-lifted by Engine), as in models/deeplab.py / segformer.py.
+    head_upsample: str = "full"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -126,6 +129,10 @@ class Xception65DeepLab(nn.Module):
             raise ValueError(
                 f"Xception65DeepLab needs NHWC input with H, W divisible "
                 f"by 16 (output stride); got {x.shape}")
+        if self.head_upsample not in ("full", "quarter"):
+            raise ValueError(
+                f"head_upsample must be 'full' or 'quarter', "
+                f"got {self.head_upsample!r}")
         dt = self.dtype
         x = x.astype(dt)
         h, w = x.shape[1], x.shape[2]
@@ -173,6 +180,8 @@ class Xception65DeepLab(nn.Module):
                    name="dec1")(y, train)
         y = nn.Conv(self.num_classes, (1, 1), dtype=dt,
                     param_dtype=jnp.float32, name="classifier")(y)
+        if self.head_upsample == "quarter" and not train:
+            return y.astype(jnp.float32)
         return _upsample(y.astype(jnp.float32), (h, w))
 
 

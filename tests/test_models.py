@@ -176,6 +176,43 @@ class TestEngine:
         assert seg.shape == (h, w)
         assert set(np.unique(seg)) <= {0, 1, 2}
 
+    @pytest.mark.parametrize("name", ["deeplab", "deeplab_xception"])
+    def test_deeplab_quarter_head(self, rng, name):
+        # _q variants return 1/4-res logits at inference (the decoder's
+        # native resolution; the full path is exactly their bilinear
+        # resize) and Engine nearest-lifts the labels — the same contract
+        # as segformer_*_q (PERF.md round 3c).  Training emits full res.
+        from bugcar_image_segmentation_tpu.models import remap
+        from bugcar_image_segmentation_tpu.ops.resize import (
+            upsample_nearest_int)
+
+        cfg = ModelConfig(name=name, input_width=64, input_height=32,
+                          num_classes=15, dtype="float32")
+        eng = build_engine(name, cfg)
+        cfg_q = ModelConfig(name=name + "_q", input_width=64,
+                            input_height=32, num_classes=15,
+                            dtype="float32")
+        eng_q = build_engine(name + "_q", cfg_q,
+                             variables=eng.variables)
+        frame = rng.integers(0, 256, size=(32, 64, 3), dtype=np.uint8)
+        logits_q = eng_q.logits(frame)
+        assert logits_q.shape == (8, 16, 15)
+        logits_f = eng.logits(frame)
+        np.testing.assert_allclose(
+            np.asarray(jax.image.resize(logits_q, logits_f.shape,
+                                        method="bilinear")),
+            np.asarray(logits_f), atol=1e-4)
+        seg = np.asarray(eng_q.predict(frame))
+        assert seg.shape == (32, 64)
+        want = upsample_nearest_int(
+            remap.logits_to_drivability(logits_q, eng_q.remap_table), 4)
+        np.testing.assert_array_equal(seg, np.asarray(want))
+        # Training path still emits full resolution.
+        x = jnp.asarray(rng.normal(size=(1, 32, 64, 3)).astype(np.float32))
+        yt, _ = eng_q.module.apply(eng.variables, x, train=True,
+                                   mutable=["batch_stats"])
+        assert yt.shape == (1, 32, 64, 15)
+
     @pytest.mark.parametrize("stages,head", [(1, False), (2, False),
                                              (4, False), (4, True)])
     def test_segformer_chw_stages_parity(self, rng, stages, head):
