@@ -93,6 +93,13 @@ class OccupancyGridBuilder:
         the one measurable semantic delta vs the parity path (bounded in
         tests/test_grid_parity.py, reported in PERF.md).
       laserscan: override the calibration's laserscan flag.
+      label_scale: accept the segmap at 1/label_scale of the calibrated
+        input resolution (a quarter-resolution model head emitting labels
+        at H/4 x W/4).  Native-mode only: the cell-center warp reads the
+        small map directly, bit-identical to nearest-lifting it first
+        (ops/warp.py ``src_scale``) — the input-res label map is never
+        materialized.  The parity path genuinely needs template-res
+        morphology, so there it rejects.
     """
 
     def __init__(self,
@@ -100,25 +107,35 @@ class OccupancyGridBuilder:
                  grid: GridConfig,
                  mode: str = "multiclass",
                  interpolation: str = "cv2_linear",
-                 laserscan: bool | None = None):
+                 laserscan: bool | None = None,
+                 label_scale: int = 1):
         if mode not in ("multiclass", "binary"):
             raise ValueError(f"unknown mode {mode!r}")
+        if label_scale != 1 and interpolation != "native":
+            raise ValueError(
+                "label_scale > 1 requires interpolation='native' (the "
+                "parity path warps at template resolution; lift the "
+                "labels to input res instead)")
         self.cal = cal
         self.grid = grid
         self.mode = mode
         self.laserscan = cal.laserscan if laserscan is None else laserscan
         self.geom = g = template_geometry(cal, grid)
-        self.segmap_shape = (cal.input_height, cal.input_width)
+        full_shape = (cal.input_height, cal.input_width)
+        self.segmap_shape = (full_shape[0] // label_scale,
+                             full_shape[1] // label_scale)
         self.interpolation = interpolation
+        self.label_scale = label_scale
 
         if interpolation == "native":
             self._taps = warp.cell_center_taps(
                 cal.matrix_np(),
-                src_shape=self.segmap_shape,
+                src_shape=full_shape,
                 tpl_shape=(g.tpl_h, g.tpl_w),
                 cells_shape=(g.cells_h, g.cells_w),
                 dst_offset=g.coord_offset,
                 valid_rect=g.valid_rect,
+                src_scale=label_scale,
             )
         else:
             self._taps = warp.perspective_taps(

@@ -61,6 +61,13 @@ class Engine:
         self.apply_fn = apply_fn or module.apply
         self.remap_table = (remap.remap_table(cfg.num_classes)
                             if remap_table is None else remap_table)
+        # Labels come out of the head at input_res / label_scale
+        # (quarter-resolution heads argmax at the decoder's native 1/4
+        # res; _to_input_res lifts).  Consumers that can sample the
+        # small map directly (the native grid path, grid.py
+        # ``label_scale``) read this to skip the lift.
+        self.label_scale = (4 if getattr(module, "head_upsample", "full")
+                            == "quarter" else 1)
         if variables is None:
             dummy = jnp.zeros((1, cfg.input_height, cfg.input_width, 3),
                               jnp.dtype(cfg.dtype))

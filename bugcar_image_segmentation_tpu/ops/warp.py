@@ -142,10 +142,26 @@ def _window_mask(cols: np.ndarray, rows: np.ndarray,
 
 
 def _plan_from_coords(fx: np.ndarray, fy: np.ndarray, window: np.ndarray,
-                      src_shape: Tuple[int, int], interpolation: str
+                      src_shape: Tuple[int, int], interpolation: str,
+                      src_scale: int = 1
                       ) -> Tuple[np.ndarray, np.ndarray]:
-    """Indices/weights for sampling src at float coords (fx, fy)."""
+    """Indices/weights for sampling src at float coords (fx, fy).
+
+    ``src_scale`` > 1 plans against a source array of shape
+    ``(sh // src_scale, sw // src_scale)`` whose nearest-lift (pixel
+    replication, ops/resize.upsample_nearest_int) is the nominal
+    (sh, sw) source: every tap address maps through ``// src_scale``, so
+    applying the plan to the SMALL map is bit-identical to applying the
+    scale-1 plan to the lifted map — without ever materializing the lift.
+    Used by the native grid mode under quarter-resolution model heads
+    (grid.py ``label_scale``).  Coordinate math, validity and weights all
+    stay in full-resolution pixel space.
+    """
     sh, sw = src_shape
+    if src_scale != 1 and (sh % src_scale or sw % src_scale):
+        raise ValueError(f"src_shape {src_shape} not divisible by "
+                         f"src_scale {src_scale}")
+    qh, qw = sh // src_scale, sw // src_scale
     fx64 = fx.astype(np.float64)
     fy64 = fy.astype(np.float64)
 
@@ -157,8 +173,8 @@ def _plan_from_coords(fx: np.ndarray, fy: np.ndarray, window: np.ndarray,
         ix = np.rint(fx64).astype(np.int64)
         iy = np.rint(fy64).astype(np.int64)
         valid = in_bounds(iy, ix) & window
-        indices = (np.clip(iy, 0, sh - 1) * sw
-                   + np.clip(ix, 0, sw - 1)).astype(np.int32)
+        indices = (np.clip(iy, 0, sh - 1) // src_scale * qw
+                   + np.clip(ix, 0, sw - 1) // src_scale).astype(np.int32)
         weights = valid.astype(np.float32)
     elif interpolation == "cv2_linear":
         ix = np.floor(fx64).astype(np.int64)
@@ -167,10 +183,17 @@ def _plan_from_coords(fx: np.ndarray, fy: np.ndarray, window: np.ndarray,
         ffy = fy64 - iy
         # Anchor a fully in-bounds 2x2 block; re-aim each true tap's weight
         # at its position inside that block (out-of-source taps keep
-        # weight 0, so their block slot never matters).
-        base_y = np.clip(iy, 0, max(sh - 2, 0))
-        base_x = np.clip(ix, 0, max(sw - 2, 0))
-        indices = (base_y * sw + base_x).astype(np.int32)
+        # weight 0, so their block slot never matters).  With src_scale,
+        # the four full-res taps always land inside one 2x2 block of the
+        # small map (consecutive full-res coords differ by ≤1 after
+        # ``// scale``), so the packed single-gather form survives; taps
+        # that collapse onto the same small pixel accumulate their
+        # weights in its slot.
+        qy0 = np.clip(iy, 0, sh - 1) // src_scale
+        qx0 = np.clip(ix, 0, sw - 1) // src_scale
+        base_y = np.clip(qy0, 0, max(qh - 2, 0))
+        base_x = np.clip(qx0, 0, max(qw - 2, 0))
+        indices = (base_y * qw + base_x).astype(np.int32)
         weights = np.zeros(fx.shape + (4,), np.float32)
         tap_weights = [(iy, ix, (1.0 - ffx) * (1.0 - ffy)),
                        (iy, ix + 1, ffx * (1.0 - ffy)),
@@ -178,8 +201,10 @@ def _plan_from_coords(fx: np.ndarray, fy: np.ndarray, window: np.ndarray,
                        (iy + 1, ix + 1, ffx * ffy)]
         for ty, tx, w in tap_weights:
             ok = in_bounds(ty, tx) & window
-            dy = np.clip(ty - base_y, 0, 1)
-            dx = np.clip(tx - base_x, 0, 1)
+            qty = np.clip(ty, 0, sh - 1) // src_scale
+            qtx = np.clip(tx, 0, sw - 1) // src_scale
+            dy = np.clip(qty - base_y, 0, 1)
+            dx = np.clip(qtx - base_x, 0, 1)
             slot = (dy * 2 + dx).astype(np.int64)
             w_ok = np.where(ok, w, 0.0).astype(np.float32)
             np.put_along_axis(weights, slot[..., None], np.take_along_axis(
@@ -196,7 +221,8 @@ def cell_center_taps(matrix: np.ndarray,
                      cells_shape: Tuple[int, int],
                      dst_offset: Tuple[int, int] = (0, 0),
                      valid_rect: Optional[Tuple[int, int, int, int]] = None,
-                     interpolation: str = "cv2_linear") -> WarpTaps:
+                     interpolation: str = "cv2_linear",
+                     src_scale: int = 1) -> WarpTaps:
     """Gather plan sampling ONLY the template pixels the cell binning reads.
 
     The parity path warps the full (tpl_h, tpl_w) template (~160k gather
@@ -209,6 +235,12 @@ def cell_center_taps(matrix: np.ndarray,
     warped cell values are IDENTICAL to warp-then-resize; what a
     consumer gives up is template-resolution morphology in between
     (grid.py "native" mode runs it at cell resolution instead).
+
+    ``src_scale`` > 1: the actual source array is the model's
+    reduced-resolution label map, (sh//scale, sw//scale); the plan reads
+    it directly, bit-identical to sampling its nearest-lift at (sh, sw)
+    (see ``_plan_from_coords``) — composing a quarter-resolution head
+    with the native grid without materializing input-res labels.
     """
     sh, sw = src_shape
     th, tw = tpl_shape
@@ -224,10 +256,11 @@ def cell_center_taps(matrix: np.ndarray,
     fx, fy = _inverse_coords_at(matrix, xs, ys)
     window = _window_mask(cols, rows, valid_rect)
     indices, weights = _plan_from_coords(fx, fy, window, src_shape,
-                                         interpolation)
+                                         interpolation, src_scale)
     return WarpTaps(indices=jnp.asarray(indices),
                     weights=jnp.asarray(weights),
-                    src_shape=(sh, sw), mode=interpolation)
+                    src_shape=(sh // src_scale, sw // src_scale),
+                    mode=interpolation)
 
 
 def pack_neighborhood(src: jax.Array) -> jax.Array:

@@ -51,8 +51,14 @@ class ShardedMultiCameraPipeline:
         self.engine = engine
         self.mesh = mesh
         self.axis = axis
+        # Quarter-head engines + native grids tap the small label maps
+        # directly (grid.py ``label_scale``); other interpolations lift
+        # the labels to input res first (engine._to_input_res).
+        scale = (engine.label_scale if interpolation == "native" else 1)
+        self._grid_label_scale = scale
         builders = [OccupancyGridBuilder(c, grid_cfg,
-                                         interpolation=interpolation)
+                                         interpolation=interpolation,
+                                         label_scale=scale)
                     for c in cals]
         if len({(b.geom.cells_h, b.geom.cells_w) for b in builders}) != 1:
             raise ValueError("all cameras must share the grid geometry")
@@ -67,6 +73,8 @@ class ShardedMultiCameraPipeline:
             # frames: (cams_per_shard, H, W, 3) on this chip.
             logits = engine._forward(variables, frames)
             segs = remap.logits_to_drivability(logits, engine.remap_table)
+            if self._grid_label_scale == 1:
+                segs = engine._to_input_res(segs)
             grids = build_grids_vmapped(self._builder0, self._taps_static,
                                         segs, idx, wts)
             local = stitch_grids(grids)

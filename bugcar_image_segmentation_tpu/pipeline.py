@@ -86,8 +86,18 @@ class Pipeline:
         # PERF.md round 3).
         self.transport = transport
         self.engine = engine
-        self.builder = OccupancyGridBuilder(cal, grid_cfg, mode=mode,
-                                            interpolation=interpolation)
+        # Quarter-resolution heads + the native grid compose: the
+        # cell-center warp samples the model's small label map directly
+        # (bit-identical to nearest-lifting it first — grid.py
+        # ``label_scale``), so the input-res label map never enters the
+        # grid path.  The contour filter runs at input res, so it keeps
+        # the lifted path.
+        self._grid_label_scale = (
+            engine.label_scale
+            if interpolation == "native" and not contour_filter else 1)
+        self.builder = OccupancyGridBuilder(
+            cal, grid_cfg, mode=mode, interpolation=interpolation,
+            label_scale=self._grid_label_scale)
         self.mode = mode
         # When the accelerator sits behind a high-latency/low-bandwidth
         # link (remote TPU), resizing on the host before the transfer cuts
@@ -118,6 +128,10 @@ class Pipeline:
             # so the calibrated warp/contour stages see the resolution
             # the homography was solved for (engine._to_input_res
             # rationale — 1 B/px labels instead of 60 B/px f32 logits).
+            # When the native grid reads the small map directly
+            # (_grid_label_scale > 1), it taps ``seg_head`` below and
+            # the lift survives only for the returned segmentation map.
+            seg_head = seg
             seg = engine._to_input_res(seg)
             if contour_filter:
                 # Footwell-connectivity road filtering (reference
@@ -133,7 +147,8 @@ class Pipeline:
                                     jnp.uint8(remap.FLAT_NON_ROAD), seg)
                 else:
                     seg = kept
-            out = self.builder.build(seg)
+            out = self.builder.build(
+                seg_head if self._grid_label_scale > 1 else seg)
             if isinstance(out, tuple):
                 # binary+laserscan returns (plain, laserscan-like)
                 # (reference bev.py:164); stack so the streaming machinery
@@ -322,8 +337,13 @@ class MultiCameraPipeline:
         if not cals:
             raise ValueError("need at least one calibration")
         self.engine = engine
+        # Quarter-head engines + native grids read the small label maps
+        # directly, as in Pipeline (grid.py ``label_scale``).
+        scale = engine.label_scale if interpolation == "native" else 1
+        self._grid_label_scale = scale
         self.builders = [OccupancyGridBuilder(c, grid_cfg,
-                                              interpolation=interpolation)
+                                              interpolation=interpolation,
+                                              label_scale=scale)
                          for c in cals]
         if len({(b.geom.cells_h, b.geom.cells_w)
                 for b in self.builders}) != 1:
@@ -341,8 +361,9 @@ class MultiCameraPipeline:
 
         def run(variables: dict, frames_bgr: jax.Array) -> jax.Array:
             logits = engine._forward(variables, frames_bgr)
-            segs = engine._to_input_res(
-                remap.logits_to_drivability(logits, engine.remap_table))
+            segs = remap.logits_to_drivability(logits, engine.remap_table)
+            if self._grid_label_scale == 1:
+                segs = engine._to_input_res(segs)
             grids = [b.build(segs[k]) for k, b in enumerate(self.builders)]
             return stitch_grids(jnp.stack(grids))
 

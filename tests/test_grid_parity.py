@@ -140,6 +140,74 @@ class TestNativeFastGrid:
                                           np.asarray(native(segs[i])))
 
 
+class TestLabelScaleNative:
+    """label_scale > 1: the native grid taps a quarter-resolution label
+    map directly (ops/warp.py ``src_scale``); must be BIT-identical to
+    nearest-lifting the small map and running the scale-1 native build."""
+
+    @pytest.mark.parametrize("scale", [2, 4])
+    @pytest.mark.parametrize("mode", ["multiclass", "binary"])
+    def test_bit_identical_to_lifted(self, rng, scale, mode):
+        from bugcar_image_segmentation_tpu.ops.resize import (
+            upsample_nearest_int)
+        cal = make_calibration(False)
+        lifted = OccupancyGridBuilder(cal, GRID, mode=mode,
+                                      interpolation="native")
+        direct = OccupancyGridBuilder(cal, GRID, mode=mode,
+                                      interpolation="native",
+                                      label_scale=scale)
+        assert direct.segmap_shape == (256 // scale, 512 // scale)
+        for _ in range(3):
+            hi = 3 if mode == "multiclass" else 2
+            small = rng.integers(0, hi,
+                                 (256 // scale, 512 // scale)).astype(np.uint8)
+            big = np.asarray(upsample_nearest_int(small, scale))
+            np.testing.assert_array_equal(np.asarray(direct(small)),
+                                          np.asarray(lifted(big)))
+
+    def test_bit_identical_to_lifted_laserscan(self, rng):
+        from bugcar_image_segmentation_tpu.ops.resize import (
+            upsample_nearest_int)
+        cal = make_calibration(True)
+        lifted = OccupancyGridBuilder(cal, GRID, interpolation="native")
+        direct = OccupancyGridBuilder(cal, GRID, interpolation="native",
+                                      label_scale=4)
+        small = rng.integers(0, 3, (64, 128)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(direct(small)),
+            np.asarray(lifted(np.asarray(upsample_nearest_int(small, 4)))))
+
+    def test_scaled_taps_match_lifted_perspective(self, rng):
+        """Warp-op level: a scaled cell-center plan over the small map ==
+        the scale-1 plan over its nearest-lift, both interpolations."""
+        from bugcar_image_segmentation_tpu.ops import warp
+        from bugcar_image_segmentation_tpu.ops.resize import (
+            upsample_nearest_int)
+        cal = make_calibration(False)
+        m = cal.matrix_np()
+        for interp in ("cv2_linear", "nearest"):
+            full = warp.cell_center_taps(
+                m, src_shape=(256, 512), tpl_shape=(400, 400),
+                cells_shape=(80, 80), dst_offset=(56, 112),
+                valid_rect=(0, 400, 0, 400), interpolation=interp)
+            scaled = warp.cell_center_taps(
+                m, src_shape=(256, 512), tpl_shape=(400, 400),
+                cells_shape=(80, 80), dst_offset=(56, 112),
+                valid_rect=(0, 400, 0, 400), interpolation=interp,
+                src_scale=4)
+            assert scaled.src_shape == (64, 128)
+            small = rng.integers(0, 255, (64, 128)).astype(np.uint8)
+            big = np.asarray(upsample_nearest_int(small, 4))
+            np.testing.assert_array_equal(
+                np.asarray(warp.apply_warp(small, scaled)),
+                np.asarray(warp.apply_warp(big, full)), err_msg=interp)
+
+    def test_parity_mode_rejects_label_scale(self):
+        cal = make_calibration(False)
+        with pytest.raises(ValueError, match="native"):
+            OccupancyGridBuilder(cal, GRID, label_scale=4)
+
+
 class TestBinaryParity:
     @pytest.mark.parametrize("laserscan", [False, True])
     def test_matches_oracle(self, rng, laserscan):

@@ -194,6 +194,34 @@ class TestPipeline:
                                   jnp.asarray(frames[i]))
             np.testing.assert_array_equal(batched[i], np.asarray(single))
 
+    def test_quarter_head_native_grid_direct(self, rng):
+        """A quarter-res head + interpolation='native' taps the small
+        label map directly (grid.py label_scale); the grid must equal
+        the staged path (input-res predict → scale-1 native builder) and
+        the pipeline's returned segmap keeps the input-res contract."""
+        from bugcar_image_segmentation_tpu.models.api import build_engine
+        cfg = ModelConfig(name="deeplab_q", input_width=64, input_height=32,
+                          num_classes=15, dtype="float32")
+        eng = build_engine("deeplab_q", cfg)
+        assert eng.label_scale == 4
+        cal = make_cal()
+        pipe = Pipeline(eng, cal, GRID, interpolation="native")
+        assert pipe.builder.segmap_shape == (8, 16)
+        staged = OccupancyGridBuilder(cal, GRID, interpolation="native")
+        frame = rng.integers(0, 256, (32, 64, 3), np.uint8)
+        grid, seg = pipe.segment_and_grid(frame)
+        assert np.asarray(seg).shape == (32, 64)
+        np.testing.assert_array_equal(
+            np.asarray(grid), np.asarray(staged(eng.predict(frame))))
+        # The contour filter runs at input res → falls back to the
+        # lifted path, same answer.
+        pipe_cf = Pipeline(eng, cal, GRID, interpolation="native",
+                           contour_filter=False)
+        assert pipe_cf._grid_label_scale == 4
+        pipe_cf2 = Pipeline(eng, cal, GRID, interpolation="native",
+                            contour_filter=True)
+        assert pipe_cf2._grid_label_scale == 1
+
     def test_i420_requires_host_resize(self, engine):
         with pytest.raises(ValueError, match="host_resize"):
             Pipeline(engine, make_cal(), GRID, transport="i420")
@@ -243,6 +271,23 @@ class TestMultiCamera:
         got = np.asarray(multi(frames))
         per_cam = [np.asarray(OccupancyGridBuilder(c, GRID)(
             engine.predict(frames[i]))) for i, c in enumerate(cals)]
+        np.testing.assert_array_equal(got, np.max(np.stack(per_cam), axis=0))
+
+    def test_quarter_head_native_rig(self, rng):
+        """Rig of quarter-head cameras + native grids: direct small-map
+        taps must equal per-camera staged grids (predict → lifted
+        native builder) max-merged."""
+        from bugcar_image_segmentation_tpu.models.api import build_engine
+        cfg = ModelConfig(name="deeplab_q", input_width=64, input_height=32,
+                          num_classes=15, dtype="float32")
+        eng = build_engine("deeplab_q", cfg)
+        cals = [make_cal(yaw=y) for y in (-0.2, 0.2)]
+        multi = MultiCameraPipeline(eng, cals, GRID, interpolation="native")
+        frames = rng.integers(0, 256, size=(2, 32, 64, 3), dtype=np.uint8)
+        got = np.asarray(multi(frames))
+        per_cam = [np.asarray(
+            OccupancyGridBuilder(c, GRID, interpolation="native")(
+                eng.predict(frames[i]))) for i, c in enumerate(cals)]
         np.testing.assert_array_equal(got, np.max(np.stack(per_cam), axis=0))
 
     def test_stitch_semantics(self):
