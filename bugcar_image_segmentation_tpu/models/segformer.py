@@ -28,7 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.attention import flash_attention, flash_attention_t
+from ..ops.pallas.attention import (attention_reference, flash_attention,
+                                    flash_attention_t)
 from ..ops.quant import Int8Dense
 from .chw import (ChwConv1x1, ChwDense, ChwDepthwise3x3, ChwLayerNorm,
                   ChwSrConv)
@@ -120,7 +121,8 @@ class EfficientAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, hw: Tuple[int, int],
-                 chw_n: Optional[int] = None) -> jax.Array:
+                 chw_n: Optional[int] = None,
+                 train: bool = False) -> jax.Array:
         h, w = hw
         head_dim = self.dim // self.num_heads
 
@@ -181,7 +183,14 @@ class EfficientAttention(nn.Module):
             return t.reshape(n, t.shape[1], self.num_heads,
                              head_dim).transpose(0, 2, 1, 3)
 
-        out = flash_attention(split(q), split(k), split(v))
+        if train:
+            # pallas_call has no JVP rule — the training path uses the
+            # naive XLA attention (differentiable; the O(L·Lkv) score
+            # tensor is affordable because the SR conv keeps Lkv small).
+            # Inference keeps the Pallas kernel.
+            out = attention_reference(split(q), split(k), split(v))
+        else:
+            out = flash_attention(split(q), split(k), split(v))
         out = out.transpose(0, 2, 1, 3).reshape(n, l, self.dim)
         return _dense(self.dim, quant=self.quant, dtype=self.dtype,
                       name="proj")(out)
@@ -230,7 +239,8 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, hw: Tuple[int, int],
-                 chw_n: Optional[int] = None) -> jax.Array:
+                 chw_n: Optional[int] = None,
+                 train: bool = False) -> jax.Array:
         if chw_n is not None:
             def ln(t, name):
                 return ChwLayerNorm(self.dim, dtype=self.dtype,
@@ -243,7 +253,7 @@ class Block(nn.Module):
         x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
                                    dtype=self.dtype, quant=self.quant,
                                    name="attn")(ln(x, "norm1"), hw,
-                                                chw_n=chw_n)
+                                                chw_n=chw_n, train=train)
         x = x + MixFFN(self.dim, dtype=self.dtype, quant=self.quant,
                        name="ffn")(ln(x, "norm2"), hw, chw_n=chw_n)
         return x
@@ -372,7 +382,8 @@ class SegFormer(nn.Module):
                 for b in range(self.depths[s]):
                     x = Block(c, self.num_heads[s], self.sr_ratios[s],
                               dtype=dt, quant=self.quant,
-                              name=f"stage{s}_block{b}")(x, (h, w))
+                              name=f"stage{s}_block{b}")(x, (h, w),
+                                                         train=train)
                 x = nn.LayerNorm(dtype=jnp.float32,
                                  param_dtype=jnp.float32,
                                  name=f"norm{s}")(x).astype(dt)

@@ -8,6 +8,7 @@ note_label:1-15).
 """
 
 import cv2
+import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -247,6 +248,30 @@ class TestEngine:
         y, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
         assert y.shape == (1, 64, 64, 5)
         assert np.isfinite(np.asarray(y)).all()
+
+    def test_segformer_train_grads_flow(self, rng):
+        # Training differentiates through attention_reference (the Pallas
+        # kernel has no JVP rule — segformer.py EfficientAttention): the
+        # q/k/v/proj params of every block must receive non-zero grads.
+        from bugcar_image_segmentation_tpu.models.segformer import SegFormer
+
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        m = SegFormer(num_classes=5, dtype=jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x, train=True)
+
+        def loss(params):
+            y, _ = m.apply({"params": params,
+                            "batch_stats": v["batch_stats"]},
+                           x, train=True, mutable=["batch_stats"])
+            return jnp.mean(y.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        flat = flax.traverse_util.flatten_dict(g, sep="/")
+        attn = {k: gv for k, gv in flat.items() if "/attn/" in k}
+        assert attn, "no attention params found in the grad tree"
+        for k, gv in attn.items():
+            assert np.isfinite(np.asarray(gv)).all(), k
+            assert float(jnp.sum(jnp.abs(gv))) > 0, f"zero grad at {k}"
 
     def test_unet_chw_gate_parity(self, rng):
         # UNet's narrow-stage transposed path (models/unet.py
