@@ -77,6 +77,7 @@ def softmax_cross_entropy(logits: jax.Array,
 def make_train_step(model,
                     class_weights: Optional[np.ndarray] = None,
                     ignore_label: int = 255,
+                    remat: bool = False,
                     ) -> Callable[[TrainState, jax.Array, jax.Array,
                                    jax.Array], Tuple[TrainState, jax.Array]]:
     """Build the pure train step: (state, images, labels, rng) → (state', loss).
@@ -84,20 +85,35 @@ def make_train_step(model,
     Jit/pjit-agnostic: shard the inputs with ``jax.sharding`` and jit the
     returned function; XLA derives the cross-chip gradient reduction from
     the shardings (see parallel/ and __graft_entry__.dryrun_multichip).
+
+    ``remat=True`` wraps the forward in :func:`jax.checkpoint` with the
+    ``dots_with_no_batch_dims_saveable`` policy: matmul/conv outputs are
+    kept for the backward pass but the elementwise/normalization
+    intermediates are recomputed, cutting activation HBM (the standard
+    TPU FLOPs-for-memory trade) so high-res segmentation batches fit —
+    at the cost of part of a second forward.
     """
     cw = None if class_weights is None else jnp.asarray(class_weights)
 
     def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
                    rng: jax.Array) -> Tuple[TrainState, jax.Array]:
-        def loss_fn(params):
+        def fwd(params, imgs):
             variables = {"params": params}
             mutable = []
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
-            out = model.apply(variables, images, train=True,
+            out = model.apply(variables, imgs, train=True,
                               rngs={"dropout": rng}, mutable=mutable)
-            logits, aux = out if mutable else (out, {})
+            return out if mutable else (out, {})
+
+        if remat:
+            fwd = jax.checkpoint(
+                fwd, policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable)
+
+        def loss_fn(params):
+            logits, aux = fwd(params, images)
             loss = softmax_cross_entropy(logits, labels, cw, ignore_label)
             return loss, aux.get("batch_stats")
 

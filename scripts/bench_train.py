@@ -26,6 +26,8 @@ def main() -> None:
                     default=("enet", "unet", "deeplab", "segformer_b0"))
     ap.add_argument("--batches", type=int, nargs="+", default=(8,))
     ap.add_argument("--iters", type=int, nargs=2, default=(4, 12))
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the forward (trade FLOPs for HBM)")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +65,7 @@ def main() -> None:
             batch_stats=engine.variables.get("batch_stats"),
             tx=optax.adamw(1e-3),
         )
-        step = make_train_step(model)
+        step = make_train_step(model, remat=args.remat)
 
         for batch in args.batches:
             images = jnp.asarray(

@@ -149,6 +149,29 @@ class TestTraining:
         assert losses[-1] < losses[0], losses
         assert state.batch_stats is not None
 
+    def test_remat_step_matches_plain(self, rng):
+        """jax.checkpoint'ed train step (remat=True) must be numerically
+        the plain step — same loss, same updated params — since remat
+        only changes WHAT is stored vs recomputed for the backward."""
+        model = ENet(num_classes=15, dtype=jnp.float32)
+        state = create_train_state(model, (1, 32, 64, 3),
+                                   learning_rate=3e-3)
+        images = jnp.asarray(rng.normal(size=(2, 32, 64, 3))
+                             .astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 15, size=(2, 32, 64))
+                             .astype(np.int32))
+        key = jax.random.PRNGKey(7)
+        s_plain, l_plain = jax.jit(make_train_step(model))(
+            state, images, labels, key)
+        s_remat, l_remat = jax.jit(make_train_step(model, remat=True))(
+            state, images, labels, key)
+        np.testing.assert_allclose(float(l_plain), float(l_remat),
+                                   rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
+            s_plain.params, s_remat.params)
+
     def test_learns_synthetic_task(self, rng):
         """End-to-end learning check: a small UNet must master a
         deterministic per-pixel color→class task (>90% accuracy after
