@@ -33,6 +33,14 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--schedule", choices=["constant", "cosine"],
+                   default="constant",
+                   help="LR schedule (cosine = linear warmup + cosine decay "
+                        "to 0 over --steps)")
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--augment", action="store_true",
+                   help="on-device augmentation: flip / zoom / color jitter "
+                        "(training/augment.py)")
     p.add_argument("--devices", type=int, default=None,
                    help="mesh size for data parallelism (default: all)")
     p.add_argument("--log-every", type=int, default=50)
@@ -43,6 +51,7 @@ def main() -> int:
     import cv2
     import jax
     import jax.numpy as jnp
+    import optax
     from bugcar_image_segmentation_tpu.configs import ModelConfig
     from bugcar_image_segmentation_tpu.models import preprocess as pre
     from bugcar_image_segmentation_tpu.models.api import build_engine
@@ -87,22 +96,56 @@ def main() -> int:
     log.info("mesh: %s over %d devices", dict(mesh.shape),
              mesh.devices.size)
 
+    if args.schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, max(args.warmup_steps, 1), args.steps)
+    else:
+        lr = optax.join_schedules(
+            [optax.linear_schedule(0.0, args.lr,
+                                   max(args.warmup_steps, 1)),
+             optax.constant_schedule(args.lr)],
+            [max(args.warmup_steps, 1)]) if args.warmup_steps else args.lr
     state = create_train_state(
-        model, (1, args.height, args.width, 3), learning_rate=args.lr)
+        model, (1, args.height, args.width, 3),
+        optimizer=optax.adamw(lr))
     if args.resume:
         variables, _ = load_variables(args.resume)
         state = state.replace(params=variables["params"],
                               batch_stats=variables.get("batch_stats"))
     state = replicate(state, mesh)
     train_step = jax.jit(make_train_step(model))
-    preprocess = jax.jit(lambda f: pre.preprocess_for_config(f, cfg))
+
+    if args.augment:
+        from bugcar_image_segmentation_tpu.training.augment import (
+            AugmentConfig, augment_batch)
+        acfg = AugmentConfig(ignore_label=255)
+
+        @jax.jit
+        def preprocess(frames, labels, akey):
+            # resize + BGR→RGB + /256 to [0,1] float, augment there
+            # (photometric knobs assume [0,1]), then normalize.
+            x = pre.preprocess_frame(
+                frames, (args.height, args.width),
+                mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
+                dtype=jnp.float32)
+            x, labels = augment_batch(akey, x, labels, acfg)
+            x = (x - jnp.asarray(cfg.image_mean, jnp.float32)) \
+                / jnp.asarray(cfg.image_std, jnp.float32)
+            return x.astype(jnp.dtype(cfg.dtype)), labels
+    else:
+        @jax.jit
+        def preprocess(frames, labels, akey):
+            del akey
+            return pre.preprocess_for_config(frames, cfg), labels
 
     key = jax.random.PRNGKey(0)
     for step, (frames, labels) in enumerate(batches()):
         if step >= args.steps:
             break
-        images = preprocess(jnp.asarray(frames))
-        images, labels = shard_batch((images, jnp.asarray(labels)), mesh)
+        images, labels = preprocess(jnp.asarray(frames),
+                                    jnp.asarray(labels),
+                                    jax.random.fold_in(key, 2 * step + 1))
+        images, labels = shard_batch((images, labels), mesh)
         state, loss = train_step(state, images, labels,
                                  jax.random.fold_in(key, step))
         if step % args.log_every == 0:

@@ -119,3 +119,34 @@ class TestEvaluateCLI:
         result = json.loads(r.stdout)
         assert "pixel_accuracy" in result and "mean_iou" in result
         assert 0.0 <= result["pixel_accuracy"] <= 1.0
+
+
+class TestTrainCLI:
+    def test_trains_and_saves_checkpoint(self, tmp_path, rng):
+        import cv2
+        imgs = tmp_path / "imgs"
+        lbls = tmp_path / "lbls"
+        imgs.mkdir(), lbls.mkdir()
+        for i in range(4):
+            cv2.imwrite(str(imgs / f"{i}.png"),
+                        rng.integers(0, 256, (48, 96, 3), dtype=np.uint8))
+            cv2.imwrite(str(lbls / f"{i}.png"),
+                        rng.integers(0, 15, (48, 96), dtype=np.uint8))
+        out = tmp_path / "ckpt.msgpack"
+        # 2 optimizer steps at 96x48 with on-device augmentation and the
+        # cosine schedule — exercises the full CLI plumbing incl.
+        # training/augment.py inside the jitted preprocess.
+        r = run([f"{REPO}/scripts/train.py", "--model", "enet",
+                 "--images", str(imgs), "--labels", str(lbls),
+                 "--width", "96", "--height", "48", "--steps", "2",
+                 "--batch", "2", "--devices", "1",
+                 "--augment", "--schedule", "cosine",
+                 "--warmup-steps", "1", "--log-every", "1",
+                 "--out", str(out)], timeout=900)
+        assert r.returncode == 0, r.stderr
+        assert out.exists() and out.stat().st_size > 0
+        from bugcar_image_segmentation_tpu.utils.checkpoint import (
+            load_variables)
+        variables, cfg = load_variables(str(out))
+        assert "params" in variables
+        assert cfg is not None and cfg.input_width == 96
