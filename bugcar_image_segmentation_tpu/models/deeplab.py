@@ -18,7 +18,7 @@ Notes vs the reference:
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -41,9 +41,35 @@ class ConvBN(nn.Module):
     # conv saving at this scale (PERF.md round 2b).  Kept parity-tested
     # for smaller stems.
     fast_stem: bool = False
+    # Inference lowering of stride-1 3x3 convs to nine shift+matmuls
+    # (fastconv.ShiftMatmulConv3x3).  None = auto: on exactly when the
+    # conv is DILATED — XLA's atrous lowering runs ASPP's rate-6/12/18
+    # branches at ~30 TF/s vs ~110 for the shifted form (3.3-3.8x,
+    # scripts/bench_dilated.py); plain 3x3s (decoder) are left to XLA.
+    # Same param tree either way; training always uses nn.Conv.
+    shift_matmul: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        use_shift = (not train and self.kernel == (3, 3)
+                     and self.strides == (1, 1) and self.groups == 1
+                     and (self.dilation != (1, 1)
+                          if self.shift_matmul is None
+                          else self.shift_matmul))
+        if use_shift:
+            from .fastconv import ShiftMatmulConv3x3
+            y = ShiftMatmulConv3x3(self.features, dilation=self.dilation,
+                                   dtype=self.dtype, name="Conv_0")(x)
+            y = nn.BatchNorm(use_running_average=True, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype,
+                             param_dtype=jnp.float32,
+                             name="BatchNorm_0")(y)
+            if self.act:
+                y = jnp.maximum(y, 0)
+                if self.relu6:
+                    y = jnp.minimum(y, 6)
+            return y
+
         if (self.fast_stem and not train and self.kernel == (3, 3)
                 and self.strides == (2, 2) and self.groups == 1):
             from .enet import ChwBatchNorm

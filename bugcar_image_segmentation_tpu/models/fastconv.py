@@ -345,6 +345,45 @@ class FastDownConv2x(nn.Module):
         return y
 
 
+class ShiftMatmulConv3x3(nn.Module):
+    """Stride-1 3x3 (optionally dilated) conv as nine shift+matmuls.
+
+    XLA's dilated conv lowering runs the ASPP branches (models/deeplab.py
+    ASPP, dilation 6/12/18 on a (32, 64, 2048) map) at ~30 TF/s; the
+    algebraically identical form
+
+        y = sum_{dy,dx in 3x3}  shift(x, ((dy-1)r, (dx-1)r)) @ W[dy,dx]
+
+    — one zero-pad, nine static slices, nine (pixels, Cin) x (Cin, Cout)
+    matmuls — measures ~105-117 TF/s on the bench v5e (3.3-3.8x;
+    scripts/bench_dilated.py).  The shifts are free-fusing relayouts and
+    each matmul is full-width MXU work.  Same SAME-padding semantics and
+    the exact parameter tree of ``nn.Conv(features, (3, 3), use_bias=
+    False)`` (param ``kernel``, shape (3, 3, Cin, Cout)), so trained /
+    converted weights load unchanged.
+    """
+
+    features: int
+    dilation: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, h, w, cin = x.shape
+        kernel = self.param("kernel", initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        ry, rx = self.dilation
+        xp = jnp.pad(x, ((0, 0), (ry, ry), (rx, rx), (0, 0)))
+        kb = kernel.astype(self.dtype)
+        y = None
+        for dy in range(3):
+            for dx in range(3):
+                tap = xp[:, dy * ry:dy * ry + h, dx * rx:dx * rx + w, :]
+                t = tap.reshape(n * h * w, cin).astype(self.dtype) @ kb[dy, dx]
+                y = t if y is None else y + t
+        return y.reshape(n, h, w, self.features)
+
+
 __all__ = ["FastConvTranspose2x", "FastDownConv2x", "FastStemConv2x",
-           "FastStemConv4x", "space_to_depth", "space_to_depth4",
-           "depth_to_space"]
+           "FastStemConv4x", "ShiftMatmulConv3x3", "space_to_depth",
+           "space_to_depth4", "depth_to_space"]

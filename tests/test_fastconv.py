@@ -366,3 +366,44 @@ def test_fast_path_differentiable():
     assert all(np.all(np.isfinite(leaf))
                for leaf in jax.tree_util.tree_leaves(g))
     assert float(jnp.max(jnp.abs(g["params"]["kernel"]))) > 0
+
+
+@pytest.mark.parametrize("rate", [1, 2, 6])
+def test_shift_matmul_conv_parity(rate):
+    """ShiftMatmulConv3x3 == lax dilated conv on the same kernel."""
+    from bugcar_image_segmentation_tpu.models.fastconv import (
+        ShiftMatmulConv3x3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 24, 20),
+                          jnp.float32)
+    m = ShiftMatmulConv3x3(12, dilation=(rate, rate), dtype=jnp.float32)
+    variables = m.init(RNG, x)
+    got = m.apply(variables, x)
+    ref = jax.lax.conv_general_dilated(
+        x, variables["params"]["kernel"], (1, 1), "SAME",
+        rhs_dilation=(rate, rate),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_convbn_dilated_inference_path_parity():
+    """ConvBN auto-selects the shifted lowering for dilated 3x3s at
+    inference; same variables, same output as the stock conv path."""
+    from bugcar_image_segmentation_tpu.models.deeplab import ConvBN
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 12, 24),
+                          jnp.float32)
+    fast = ConvBN(16, (3, 3), dilation=(6, 6), dtype=jnp.float32)
+    slow = ConvBN(16, (3, 3), dilation=(6, 6), dtype=jnp.float32,
+                  shift_matmul=False)
+    variables = fast.init(RNG, x)
+    # identical param trees (incl. under the stock path)
+    jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a.shape == b.shape, variables,
+        slow.init(RNG, x)))
+    np.testing.assert_allclose(
+        np.asarray(fast.apply(variables, x)),
+        np.asarray(slow.apply(variables, x)), rtol=1e-5, atol=1e-5)
+    # training always takes the stock conv (differentiable, BN updating)
+    out, _ = fast.apply(variables, x, train=True,
+                        mutable=["batch_stats"])
+    assert out.shape == (1, 8, 12, 16)
