@@ -56,7 +56,7 @@ def main() -> None:
     lat = []
     for _ in range(20):
         t0 = time.perf_counter()
-        jax.block_until_ready(pipe._run(engine.variables, pipe._prep(frame)))
+        jax.block_until_ready(pipe._run(engine.serving_variables, pipe._prep(frame)))
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1e3)
 

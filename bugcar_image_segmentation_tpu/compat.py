@@ -83,14 +83,14 @@ class _FrozenGraphEngine:
     # Reference contract (models.py:42-69): preprocessed batch → uint8
     # 3-class drivability map (squeezed like the reference's output).
     def predict(self, preprocessed):
-        out = self.engine._predict_pre(self.engine.variables,
+        out = self.engine._predict_pre(self.engine.serving_variables,
                                        jnp.asarray(preprocessed))
         return np.asarray(out[0] if out.shape[0] == 1 else out)
 
     # Reference contract (models.py:70-82): {0,1} uint8 road mask.
     def predict_binary(self, preprocessed):
         out = self.engine._predict_pre_binary(
-            self.engine.variables, jnp.asarray(preprocessed))
+            self.engine.serving_variables, jnp.asarray(preprocessed))
         return np.asarray(out[0] if out.shape[0] == 1 else out)
 
 

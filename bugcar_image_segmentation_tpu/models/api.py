@@ -29,8 +29,22 @@ import numpy as np
 
 from ..configs import ModelConfig
 from ..ops.resize import upsample_nearest_int
+from . import packing
 from . import preprocess as pre
 from . import remap
+
+
+def _cast_float_tree(tree: Any, dtype: jnp.dtype) -> Any:
+    """Cast every float32 leaf of a variable tree to ``dtype``.
+
+    Non-float leaves (int8 quant scales' zero-points, counters) and
+    already-low-precision leaves pass through untouched.
+    """
+    def cast(x):
+        if hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return jnp.asarray(x, dtype)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
 
 
 class Engine:
@@ -52,7 +66,8 @@ class Engine:
                  cfg: ModelConfig,
                  variables: Optional[dict] = None,
                  remap_table: Optional[np.ndarray] = None,
-                 apply_fn: Optional[Callable] = None):
+                 apply_fn: Optional[Callable] = None,
+                 pack: Optional[bool] = None):
         self.module = module
         self.cfg = cfg
         # Alternate executor over the SAME variable tree (e.g. the
@@ -68,6 +83,9 @@ class Engine:
         # ``label_scale``) read this to skip the lift.
         self.label_scale = (4 if getattr(module, "head_upsample", "full")
                             == "quarter" else 1)
+        # Set by cache_weights(): serve from low-precision weights
+        # (re-applied on every load_variables).  None = float32 masters.
+        self.weights_dtype: Optional[jnp.dtype] = None
         if variables is None:
             dummy = jnp.zeros((1, cfg.input_height, cfg.input_width, 3),
                               jnp.dtype(cfg.dtype))
@@ -80,14 +98,38 @@ class Engine:
                     jax.random.PRNGKey(0), dummy)
         self.variables = variables
 
+        # Packed serving weights (models/packing.py): small leaves ride
+        # in one flat buffer per dtype instead of one jit argument each
+        # (leaves > 1 MB stay separate — see pack_weights).  Each
+        # dispatch marshals ~3 µs/argument through the remote-TPU
+        # transport (measured: 508 leaves = 1.63 ms/dispatch overhead,
+        # PERF.md round 3f); packing collapses that to a few handles.
+        # Bit-identical numerics (same values, static slices inside the
+        # program).  Default (pack=None): ON unless the backend is CPU —
+        # local dispatch has no per-argument marshaling, so packing
+        # would only bloat traces (and the CPU test suite's compile
+        # time).  ``pack_weights(False)`` reverts.
+        self._pack: Optional[Tuple[dict, packing.PackSpec]] = None
+        self._pack_cutoff = 1 << 20
+        if pack is None:
+            pack = jax.default_backend() != "cpu"
+        if pack:
+            self._pack = packing.pack_tree(self.variables,
+                                           self._pack_cutoff)
+
         # Variables are ARGUMENTS of every jitted program (not trace-time
         # closures), so load_variables() takes effect without recompiling
         # — the weights are already on device, passing the tree is free.
-        self._predict = jax.jit(self._predict_impl)
-        self._predict_binary = jax.jit(self._predict_binary_impl)
-        self._logits = jax.jit(self._logits_impl)
-        self._predict_pre = jax.jit(self._predict_pre_impl)
-        self._predict_pre_binary = jax.jit(self._predict_pre_binary_impl)
+        def serve(impl):
+            def run(payload, frames):
+                return impl(self._materialize(payload), frames)
+            return jax.jit(run)
+
+        self._predict = serve(self._predict_impl)
+        self._predict_binary = serve(self._predict_binary_impl)
+        self._logits = serve(self._logits_impl)
+        self._predict_pre = serve(self._predict_pre_impl)
+        self._predict_pre_binary = serve(self._predict_pre_binary_impl)
 
     # -- pure jitted bodies --------------------------------------------------
 
@@ -147,8 +189,8 @@ class Engine:
     def _batched(self, fn: Callable, frames_bgr) -> jax.Array:
         frames = jnp.asarray(frames_bgr)
         if frames.ndim == 3:
-            return fn(self.variables, frames[None])[0]
-        return fn(self.variables, frames)
+            return fn(self.serving_variables, frames[None])[0]
+        return fn(self.serving_variables, frames)
 
     def predict(self, frames_bgr) -> jax.Array:
         """BGR uint8 frame(s) → uint8 3-class drivability map(s).
@@ -176,7 +218,85 @@ class Engine:
         runtime argument, never a compile-time constant.
         """
         jax.tree_util.tree_map(lambda a, b: None, self.variables, variables)
+        if self.weights_dtype is not None:
+            variables = _cast_float_tree(variables, self.weights_dtype)
         self.variables = variables
+        if self._pack is not None:
+            self._pack = packing.pack_tree(self.variables,
+                                           self._pack_cutoff)
+
+    def cache_weights(self, dtype: Any = jnp.bfloat16) -> None:
+        """Store the float32 weights in the compute dtype (inference only).
+
+        Flax modules built with ``dtype=bfloat16`` cast every float32
+        parameter to bfloat16 at use anyway (``promote_dtype`` runs
+        before the arithmetic); with the cast done once at load, each
+        forward skips the per-leaf convert kernels (~0.12 ms/dispatch on
+        ENet's 508 leaves on top of packing) and reads half the weight
+        bytes from HBM (0.3 ms on the 220 MB Xception tree).  Numerics:
+        BIT-identical on CPU for the flax-normalized backbones
+        (DeepLab/Xception/SegFormer/UNet — asserted in
+        tests/test_models.py); on the TPU MXU, XLA's mixed-precision
+        conv lowering keeps extra weight precision through the convert,
+        so f32-arg serving resolves a few argmax ties differently —
+        measured 0.06% label flips (tests/test_tpu.py).  ENet's custom
+        BatchNorms additionally fold ``scale*rsqrt(var+eps)`` in f32
+        before casting (models/enet.py), so w16 re-rounds that fold —
+        tie pixels again.
+
+        Training must keep float32 master weights; engines with cached
+        low-precision weights are serving-only (``variables["params"]``
+        is no longer a valid optimizer target).
+        """
+        self.weights_dtype = jnp.dtype(dtype)
+        self.variables = _cast_float_tree(self.variables, self.weights_dtype)
+        if self._pack is not None:
+            self._pack = packing.pack_tree(self.variables,
+                                           self._pack_cutoff)
+
+    def pack_weights(self, enable: bool = True,
+                     max_leaf_bytes: int = 1 << 20) -> None:
+        """Serve from packed flat-buffer weights (models/packing.py).
+
+        Bit-identical outputs — the packed buffers hold the same values
+        and the program rebuilds every leaf with static slices; only the
+        ARGUMENT layout changes (1 buffer per dtype vs 1 per leaf),
+        removing the per-dispatch per-argument marshaling (~3 µs × leaf
+        count through the remote-TPU transport; PERF.md round 3f).
+        Hybrid: leaves over ``max_leaf_bytes`` ride as their own
+        arguments (marshal cost scales with COUNT — the small BN/bias
+        tensors; unpack-relayout cost scales with BYTES — the big conv
+        kernels; measured round 3f).  Programs retrace on the next call
+        after toggling (the payload pytree structure changes).
+        ``load_variables`` keeps working — it re-packs.
+        ``self.variables`` stays the plain tree for training /
+        checkpoint / converter interop.
+        """
+        self._pack_cutoff = max_leaf_bytes
+        self._pack = (packing.pack_tree(self.variables, max_leaf_bytes)
+                      if enable else None)
+
+    @property
+    def serving_variables(self):
+        """What serving dispatches pass as the weights argument:
+        the packed buffers when :meth:`pack_weights` is on, else the
+        plain variable tree.  Pipelines use this + :meth:`_materialize`
+        so packing applies to their fused programs too."""
+        return self._pack[0] if self._pack is not None else self.variables
+
+    def _materialize(self, payload):
+        """Inside a jitted program: payload argument → variable tree.
+
+        Accepts either form (trace-time detection): the packed buffers
+        (a dict keyed by DTYPE names — collection names like "params"
+        can never collide) or a plain variable tree, so harnesses that
+        pass ``engine.variables`` directly keep working while packing
+        is on.
+        """
+        if (self._pack is not None and isinstance(payload, dict)
+                and set(payload) == set(self._pack[0])):
+            return packing.unpack_tree(payload, self._pack[1])
+        return payload
 
 
 def build_engine(name: str = "enet",
@@ -188,6 +308,12 @@ def build_engine(name: str = "enet",
     (the Keras model.h5 configuration), ``segformer`` (BASELINE config 5).
     """
     name = name.lower()
+    # "_w16" (any model): serve from bfloat16-cached weights — numerics
+    # identical to the float-param engine (see Engine.cache_weights),
+    # half the weight HBM traffic.  Orthogonal to the per-model grammar.
+    cache_bf16 = name.endswith("_w16")
+    if cache_bf16:
+        name = name[:-len("_w16")]
     apply_fn = None
     if name == "enet":
         from .enet import ENet
@@ -252,7 +378,10 @@ def build_engine(name: str = "enet",
             head_upsample="quarter" if quarter else "full")
     else:
         raise ValueError(f"unknown model {name!r}")
-    return Engine(module, cfg, variables=variables, apply_fn=apply_fn)
+    engine = Engine(module, cfg, variables=variables, apply_fn=apply_fn)
+    if cache_bf16:
+        engine.cache_weights(jnp.bfloat16)
+    return engine
 
 
 __all__ = ["Engine", "build_engine"]

@@ -384,6 +384,80 @@ class ShiftMatmulConv3x3(nn.Module):
         return y.reshape(n, h, w, self.features)
 
 
+class DepthwiseConv3x3Shift(nn.Module):
+    """Depthwise 3x3 conv as nine per-channel-scaled shifts.
+
+    Drop-in for ``nn.Conv(C, (3, 3), strides, kernel_dilation=(r, r),
+    padding='SAME', feature_group_count=C, use_bias=False)`` — the
+    depthwise step of Xception separable convs (models/xception.py
+    SepConvBN, rebuilding reference models.py:98-113's backbone) and
+    MobileNetV2 inverted residuals (models/deeplab.py).  Same param
+    tree (``kernel`` (3, 3, 1, C)).
+
+    TPU rationale: a grouped conv has contraction dim 1 — zero MXU
+    work, all data movement — and XLA's grouped lowering pads groups
+    onto the systolic array.  The identical math is nine VPU
+    fused-multiply-adds over statically shifted views:
+
+        y = sum_{dy,dx}  shift(x, ((dy-1)r, (dx-1)r)) * k[dy, dx, :]
+
+    Stride 2 (even dims, dilation 1) runs in phase form: one
+    space-to-depth, then the nine taps address the four phase maps at
+    static offsets 0/+1 — every op at output resolution, no strided
+    windows (cf. FastDownConv2x's derivation above).
+    """
+
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, h, w, c = x.shape
+        if c != self.features:
+            raise ValueError(f"depthwise needs features == Cin, got "
+                             f"{self.features} != {c}")
+        kernel = self.param("kernel", initializers.lecun_normal(),
+                            (3, 3, 1, self.features), jnp.float32)
+        kb = kernel[:, :, 0, :].astype(self.dtype)          # (3, 3, C)
+        xb = x.astype(self.dtype)
+        ry, rx = self.dilation
+
+        if self.strides == (1, 1):
+            xp = jnp.pad(xb, ((0, 0), (ry, ry), (rx, rx), (0, 0)))
+            y = None
+            for dy in range(3):
+                for dx in range(3):
+                    t = (xp[:, dy * ry:dy * ry + h, dx * rx:dx * rx + w, :]
+                         * kb[dy, dx])
+                    y = t if y is None else y + t
+            return y
+
+        if (self.strides != (2, 2) or self.dilation != (1, 1)
+                or h % 2 or w % 2):
+            raise ValueError(
+                f"shift depthwise supports stride 1 (any dilation) or "
+                f"stride 2 (dilation 1, even dims); got strides="
+                f"{self.strides} dilation={self.dilation} map {(h, w)}")
+        # SAME stride-2 over even dims pads (0, 1): output o reads input
+        # rows 2o+t, t in {0,1,2} -> phase (t&1) at offset (t>>1).  Pad
+        # to 2*o+2 so the +1-shifted phase rows exist (the extra row is
+        # never multiplied in; it only squares up the reshape).
+        oh, ow = h // 2, w // 2
+        xp = jnp.pad(xb, ((0, 0), (0, 2), (0, 2), (0, 0)))
+        p = space_to_depth(xp).reshape(n, oh + 1, ow + 1, 2, 2, c)
+        y = None
+        for ty in range(3):
+            pr, sy = ty & 1, ty >> 1
+            for tx in range(3):
+                pc, sx = tx & 1, tx >> 1
+                t = (p[:, sy:sy + oh, sx:sx + ow, pr, pc, :]
+                     * kb[ty, tx])
+                y = t if y is None else y + t
+        return y
+
+
 __all__ = ["FastConvTranspose2x", "FastDownConv2x", "FastStemConv2x",
-           "FastStemConv4x", "ShiftMatmulConv3x3", "space_to_depth",
-           "space_to_depth4", "depth_to_space"]
+           "FastStemConv4x", "ShiftMatmulConv3x3", "DepthwiseConv3x3Shift",
+           "space_to_depth", "space_to_depth4", "depth_to_space"]

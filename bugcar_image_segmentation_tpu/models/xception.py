@@ -21,13 +21,14 @@ including the export's embedded preprocessing and argmax preamble
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from .deeplab import ASPP, ConvBN, _upsample
+from .fastconv import DepthwiseConv3x3Shift
 
 
 class SepConvBN(nn.Module):
@@ -43,15 +44,33 @@ class SepConvBN(nn.Module):
     dilation: Tuple[int, int] = (1, 1)
     act_out: bool = True
     dtype: Any = jnp.bfloat16
+    # Inference lowering of the depthwise step to nine per-channel
+    # scaled shifts (fastconv.DepthwiseConv3x3Shift; grouped convs have
+    # contraction dim 1 — no MXU work to win).  None = current measured
+    # default: OFF (XLA's grouped lowering held its own on the v5e —
+    # A/B in PERF.md; flag kept for re-measurement on new toolchains).
+    dw_shift: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c = x.shape[-1]
-        x = nn.Conv(c, (3, 3), strides=self.strides,
-                    kernel_dilation=self.dilation, padding="SAME",
-                    feature_group_count=c, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name="depthwise")(x)
+        h, w = x.shape[1], x.shape[2]
+        use_dws = (not train
+                   and (False if self.dw_shift is None else self.dw_shift)
+                   and (self.strides == (1, 1)
+                        or (self.strides == (2, 2)
+                            and self.dilation == (1, 1)
+                            and h % 2 == 0 and w % 2 == 0)))
+        if use_dws:
+            x = DepthwiseConv3x3Shift(
+                c, strides=self.strides, dilation=self.dilation,
+                dtype=self.dtype, name="depthwise")(x)
+        else:
+            x = nn.Conv(c, (3, 3), strides=self.strides,
+                        kernel_dilation=self.dilation, padding="SAME",
+                        feature_group_count=c, use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="depthwise")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32, name="depthwise_bn")(x)
@@ -80,18 +99,19 @@ class XceptionBlock(nn.Module):
     dilation: int = 1
     skip: str = "conv"
     dtype: Any = jnp.bfloat16
+    dw_shift: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  ) -> Tuple[jax.Array, jax.Array]:
         d = (self.dilation, self.dilation)
         y = SepConvBN(self.features[0], dilation=d, dtype=self.dtype,
-                      name="sep0")(x, train)
+                      dw_shift=self.dw_shift, name="sep0")(x, train)
         mid = SepConvBN(self.features[1], dilation=d, dtype=self.dtype,
-                        name="sep1")(y, train)
+                        dw_shift=self.dw_shift, name="sep1")(y, train)
         y = SepConvBN(self.features[2], strides=self.strides, dilation=d,
                       act_out=False, dtype=self.dtype,
-                      name="sep2")(mid, train)
+                      dw_shift=self.dw_shift, name="sep2")(mid, train)
         if self.skip == "conv":
             s = nn.Conv(self.features[2], (1, 1), strides=self.strides,
                         use_bias=False, dtype=self.dtype,
@@ -122,6 +142,9 @@ class Xception65DeepLab(nn.Module):
     # "quarter": inference logits at the decoder's native 1/4 res (labels
     # nearest-lifted by Engine), as in models/deeplab.py / segformer.py.
     head_upsample: str = "full"
+    # Depthwise-as-shifts inference lowering for every separable conv
+    # (SepConvBN.dw_shift); None = measured auto default.
+    dw_shift: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -143,27 +166,32 @@ class Xception65DeepLab(nn.Module):
         y = ConvBN(64, (3, 3), relu6=False, dtype=dt,
                    name="conv1_2")(y, train)
         y, _ = XceptionBlock((128, 128, 128), strides=(2, 2), dtype=dt,
+                             dw_shift=self.dw_shift,
                              name="block1")(y, train)
         y, low_level = XceptionBlock((256, 256, 256), strides=(2, 2),
-                                     dtype=dt, name="block2")(y, train)
+                                     dtype=dt, dw_shift=self.dw_shift,
+                                     name="block2")(y, train)
         y, _ = XceptionBlock((728, 728, 728), strides=(2, 2), dtype=dt,
+                             dw_shift=self.dw_shift,
                              name="block3")(y, train)
 
         # Middle flow: 16 identity-skip blocks at stride 16.
         for i in range(self.middle_blocks):
             y, _ = XceptionBlock((728, 728, 728), skip="sum", dtype=dt,
+                                 dw_shift=self.dw_shift,
                                  name=f"middle{i}")(y, train)
 
         # Exit flow: the stride-2 block runs at stride 1 with dilation 2
         # (output stride 16), tail separable convs at dilation 2.
         y, _ = XceptionBlock((728, 1024, 1024), dilation=2, dtype=dt,
+                             dw_shift=self.dw_shift,
                              name="exit1")(y, train)
         y = SepConvBN(1536, dilation=(2, 2), dtype=dt,
-                      name="exit_sep0")(y, train)
+                      dw_shift=self.dw_shift, name="exit_sep0")(y, train)
         y = SepConvBN(1536, dilation=(2, 2), dtype=dt,
-                      name="exit_sep1")(y, train)
+                      dw_shift=self.dw_shift, name="exit_sep1")(y, train)
         y = SepConvBN(2048, dilation=(2, 2), dtype=dt,
-                      name="exit_sep2")(y, train)
+                      dw_shift=self.dw_shift, name="exit_sep2")(y, train)
 
         y = ASPP(relu6=False, dtype=dt, name="aspp")(y, train)
 

@@ -71,6 +71,7 @@ class ShardedMultiCameraPipeline:
 
         def local_body(variables, frames, idx, wts):
             # frames: (cams_per_shard, H, W, 3) on this chip.
+            variables = engine._materialize(variables)
             logits = engine._forward(variables, frames)
             segs = remap.logits_to_drivability(logits, engine.remap_table)
             if self._grid_label_scale == 1:
@@ -88,7 +89,7 @@ class ShardedMultiCameraPipeline:
 
     def __call__(self, frames_bgr) -> jax.Array:
         """(N_cam, H, W, 3) uint8 BGR → stitched int8 grid (replicated)."""
-        return self._fn(self.engine.variables,
+        return self._fn(self.engine.serving_variables,
                         jnp.asarray(frames_bgr), self._idx, self._wts)
 
 

@@ -109,6 +109,11 @@ class Pipeline:
         self.default_depth = 2
 
         def run(variables: dict, frame_bgr: jax.Array):
+            # Accepts either the plain tree or the packed flat buffers
+            # (engine.serving_variables / engine.pack_weights) — packing
+            # removes the per-dispatch per-argument marshaling on remote
+            # accelerators (models/packing.py, PERF.md round 3f).
+            variables = engine._materialize(variables)
             if self.transport == "i420":
                 from .ops import yuv
                 frame_bgr = yuv.i420_to_bgr(frame_bgr, self._model_hw)
@@ -207,12 +212,14 @@ class Pipeline:
 
     def __call__(self, frame_bgr) -> jax.Array:
         """One uint8 BGR frame (H, W, 3) → int8 occupancy grid."""
-        grid, _ = self._run(self.engine.variables, self._prep(frame_bgr))
+        grid, _ = self._run(self.engine.serving_variables,
+                            self._prep(frame_bgr))
         return grid
 
     def segment_and_grid(self, frame_bgr) -> Tuple[jax.Array, jax.Array]:
         """Returns (grid, segmentation map) from the same fused program."""
-        grid, seg = self._run(self.engine.variables, self._prep(frame_bgr))
+        grid, seg = self._run(self.engine.serving_variables,
+                              self._prep(frame_bgr))
         return grid, seg
 
     # -- streaming ------------------------------------------------------------
@@ -264,7 +271,8 @@ class Pipeline:
                 return
             n = len(pending)
             if transfer_batch == 1:
-                grid, _ = self._run(self.engine.variables, self._prep(pending[0]))
+                grid, _ = self._run(self.engine.serving_variables,
+                                    self._prep(pending[0]))
                 inflight.append((grid[None], 1))
             else:
                 # Pad a final partial batch to the compiled shape (the
@@ -272,7 +280,8 @@ class Pipeline:
                 # cheaper than a recompile.
                 padded = pending + [pending[-1]] * (transfer_batch - n)
                 stacked = np.stack([self._prep_host(f) for f in padded])
-                inflight.append((run_batch(self.engine.variables, jnp.asarray(stacked)), n))
+                inflight.append((run_batch(self.engine.serving_variables,
+                                           jnp.asarray(stacked)), n))
             pending.clear()
 
         def drain(k: int):
@@ -314,7 +323,8 @@ class Pipeline:
         """Trigger compilation; returns compile seconds."""
         t0 = time.perf_counter()
         dummy = np.zeros(frame_shape, np.uint8)
-        jax.block_until_ready(self._run(self.engine.variables, self._prep(dummy)))
+        jax.block_until_ready(
+            self._run(self.engine.serving_variables, self._prep(dummy)))
         return time.perf_counter() - t0
 
 
@@ -360,6 +370,7 @@ class MultiCameraPipeline:
             self.builders)
 
         def run(variables: dict, frames_bgr: jax.Array) -> jax.Array:
+            variables = engine._materialize(variables)
             logits = engine._forward(variables, frames_bgr)
             segs = remap.logits_to_drivability(logits, engine.remap_table)
             if self._grid_label_scale == 1:
@@ -371,7 +382,8 @@ class MultiCameraPipeline:
 
     def __call__(self, frames_bgr) -> jax.Array:
         """(N_cam, H, W, 3) uint8 BGR → stitched int8 grid."""
-        return self._run(self.engine.variables, jnp.asarray(frames_bgr))
+        return self._run(self.engine.serving_variables,
+                         jnp.asarray(frames_bgr))
 
 
 def stitch_grids(grids: jax.Array) -> jax.Array:

@@ -176,7 +176,39 @@ def main() -> None:
     bench("  one dw3x3+BN+ReLU @728 (of 48)", DWOnly(), s16)
     bench("  one pw1x1+BN+ReLU @728 (of 48)", PWOnly(), s16)
 
-    print(f"{'stage sum':34s} {total:7.3f} ms  (full forward 5.05 PERF)")
+    # Entry-flow sub-ablation (round 3f): the flow is 1.41 ms post-ASPP
+    # fix — locate it.  Stem convs and the three strided blocks, each at
+    # its real input shape, plus dw/pw singles at the entry shapes.
+    class Stem(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = ConvBN(32, (3, 3), strides=(2, 2), relu6=False,
+                       name="conv1_1")(x)
+            return ConvBN(64, (3, 3), relu6=False, name="conv1_2")(y)
+
+    def block(feats, name):
+        class B(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                y, _ = XceptionBlock(feats, strides=(2, 2), name=name)(x)
+                return y
+        return B()
+
+    fold = lambda x, y: x + jnp.mean(y).astype(x.dtype)
+    bench("  stem conv1+conv2 (3->64 @/2)", Stem(), (1, h, w, 3),
+          chain=fold)
+    bench("  block1 (64->128, /4)", block((128,) * 3, "b1"),
+          (1, h // 2, w // 2, 64), chain=fold)
+    bench("  block2 (128->256, /8)", block((256,) * 3, "b2"),
+          (1, h // 4, w // 4, 128), chain=fold)
+    bench("  block3 (256->728, /16)", block((728,) * 3, "b3"),
+          (1, h // 8, w // 8, 256), chain=fold)
+    bench("  one dw3x3+BN+ReLU @128 /4", DWOnly(),
+          (1, h // 4, w // 4, 128))
+    bench("  one pw1x1+BN+ReLU @128 /4", PWOnly(),
+          (1, h // 4, w // 4, 128))
+
+    print(f"{'stage sum':34s} {total:7.3f} ms  (full forward 4.02 PERF)")
 
 
 if __name__ == "__main__":

@@ -407,3 +407,64 @@ def test_convbn_dilated_inference_path_parity():
     out, _ = fast.apply(variables, x, train=True,
                         mutable=["batch_stats"])
     assert out.shape == (1, 8, 12, 16)
+
+
+@pytest.mark.parametrize("strides,rate,hw", [
+    ((1, 1), 1, (16, 24)), ((1, 1), 2, (16, 24)),
+    ((2, 2), 1, (16, 24)), ((2, 2), 1, (30, 14)),
+])
+def test_depthwise_shift_parity(strides, rate, hw):
+    """DepthwiseConv3x3Shift == grouped nn.Conv (SAME, no bias): stride 1
+    at any dilation (nine scaled shifts), stride 2 on even dims (phase
+    form).  Same param tree (kernel (3, 3, 1, C))."""
+    from bugcar_image_segmentation_tpu.models.fastconv import (
+        DepthwiseConv3x3Shift)
+    h, w = hw
+    c = 10
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, h, w, c), jnp.float32)
+    m = DepthwiseConv3x3Shift(c, strides=strides, dilation=(rate, rate),
+                              dtype=jnp.float32)
+    variables = m.init(RNG, x)
+    assert variables["params"]["kernel"].shape == (3, 3, 1, c)
+    got = m.apply(variables, x)
+    ref = jax.lax.conv_general_dilated(
+        x, variables["params"]["kernel"], strides, "SAME",
+        rhs_dilation=(rate, rate), feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_depthwise_shift_rejects_unsupported():
+    from bugcar_image_segmentation_tpu.models.fastconv import (
+        DepthwiseConv3x3Shift)
+    x = jnp.zeros((1, 15, 16, 4), jnp.float32)  # odd H
+    m = DepthwiseConv3x3Shift(4, strides=(2, 2), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="even dims"):
+        m.init(RNG, x)
+    with pytest.raises(ValueError, match="features == Cin"):
+        DepthwiseConv3x3Shift(8, dtype=jnp.float32).init(
+            RNG, jnp.zeros((1, 8, 8, 4), jnp.float32))
+
+
+def test_sepconvbn_dw_shift_path_parity():
+    """SepConvBN's shifted depthwise inference path == the grouped-conv
+    path on the same variables (both strides), and training still takes
+    the stock conv (BN updating)."""
+    from bugcar_image_segmentation_tpu.models.xception import SepConvBN
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 12, 16, 6),
+                          jnp.float32)
+    for strides in [(1, 1), (2, 2)]:
+        fast = SepConvBN(8, strides=strides, dtype=jnp.float32,
+                         dw_shift=True)
+        slow = SepConvBN(8, strides=strides, dtype=jnp.float32,
+                         dw_shift=False)
+        variables = fast.init(RNG, x)
+        assert variables["params"]["depthwise"]["kernel"].shape == (3, 3, 1, 6)
+        np.testing.assert_allclose(
+            np.asarray(fast.apply(variables, x)),
+            np.asarray(slow.apply(variables, x)), rtol=1e-5, atol=1e-5)
+        out, mut = fast.apply(variables, x, train=True,
+                              mutable=["batch_stats"])
+        assert "depthwise_bn" in mut["batch_stats"]

@@ -177,6 +177,73 @@ class TestEngine:
         assert seg.shape == (h, w)
         assert set(np.unique(seg)) <= {0, 1, 2}
 
+    def test_w16_weight_cache_parity(self, rng):
+        # "_w16": weights cached in bfloat16 serve BIT-identically to
+        # float32 masters under the bf16 compute dtype — flax casts every
+        # f32 param to the module dtype at use anyway; cache_weights just
+        # does the cast once at load (Engine.cache_weights, PERF.md
+        # round 3f).  Halves weight HBM traffic for weight-bound nets.
+        cfg = ModelConfig(name="deeplab_xception", input_width=64,
+                          input_height=32, num_classes=15,
+                          dtype="bfloat16")
+        eng = build_engine("deeplab_xception", cfg)
+        eng16 = build_engine("deeplab_xception_w16", cfg,
+                             variables=eng.variables)
+        floats = [l for l in jax.tree_util.tree_leaves(eng16.variables)
+                  if jnp.issubdtype(l.dtype, jnp.floating)]
+        assert floats and all(l.dtype == jnp.bfloat16 for l in floats)
+        # the source engine's tree is untouched (cast copies)
+        assert any(l.dtype == jnp.float32
+                   for l in jax.tree_util.tree_leaves(eng.variables))
+        frame = rng.integers(0, 256, size=(32, 64, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(np.asarray(eng.predict(frame)),
+                                      np.asarray(eng16.predict(frame)))
+        # load_variables re-applies the cache: float32 masters in,
+        # bfloat16 serving copies stored
+        eng16.load_variables(eng.variables)
+        floats = [l for l in jax.tree_util.tree_leaves(eng16.variables)
+                  if jnp.issubdtype(l.dtype, jnp.floating)]
+        assert all(l.dtype == jnp.bfloat16 for l in floats)
+
+    def test_packed_weights_parity(self, rng):
+        # pack_weights(): serving dispatches pass ONE flat buffer per
+        # dtype instead of one argument per leaf (models/packing.py —
+        # per-argument marshaling is ~3 µs/dispatch on remote TPUs,
+        # 1.6 ms for ENet's 508 leaves; PERF.md round 3f).  Same values,
+        # static slices inside the program: outputs are BIT-identical,
+        # and load_variables keeps working (re-packs).
+        cfg = ModelConfig(name="enet", input_width=64, input_height=32,
+                          num_classes=15)
+        eng = build_engine("enet", cfg)
+        frame = rng.integers(0, 256, size=(32, 64, 3), dtype=np.uint8)
+        a = np.asarray(eng.predict(frame))
+        eng.pack_weights()
+        packed = eng.serving_variables
+        assert set(packed) <= {"float32", "bfloat16"}
+        assert all(v.ndim == 1 for v in packed.values())
+        np.testing.assert_array_equal(a, np.asarray(eng.predict(frame)))
+        # weight swap still takes effect while packed (the CLAUDE.md
+        # weights-are-arguments invariant)
+        zeroed = jax.tree_util.tree_map(jnp.zeros_like, eng.variables)
+        eng.load_variables(zeroed)
+        b = np.asarray(eng.predict(frame))
+        eng.pack_weights(False)
+        np.testing.assert_array_equal(b, np.asarray(eng.predict(frame)))
+
+    def test_packed_weights_pipeline_parity(self, rng):
+        from __graft_entry__ import _toy_calibration
+        from bugcar_image_segmentation_tpu.configs import GridConfig
+        from bugcar_image_segmentation_tpu.pipeline import Pipeline
+        cfg = ModelConfig(name="enet", input_width=64, input_height=32,
+                          num_classes=15)
+        eng = build_engine("enet", cfg)
+        cal = _toy_calibration((32, 64), output_wh=(64, 64))
+        pipe = Pipeline(eng, cal, GridConfig(4.0, 4.0, 0.25))
+        frame = rng.integers(0, 256, size=(32, 64, 3), dtype=np.uint8)
+        a = np.asarray(pipe(frame))
+        eng.pack_weights()
+        np.testing.assert_array_equal(a, np.asarray(pipe(frame)))
+
     @pytest.mark.parametrize("name", ["deeplab", "deeplab_xception"])
     def test_deeplab_quarter_head(self, rng, name):
         # _q variants return 1/4-res logits at inference (the decoder's

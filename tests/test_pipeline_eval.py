@@ -186,11 +186,11 @@ class TestPipeline:
         cal = make_cal()
         pipe = Pipeline(engine, cal, GRID)
         frames = rng.integers(0, 256, size=(8, 48, 96, 3), dtype=np.uint8)
-        batched = np.asarray(pipe._run_batch(engine.variables,
+        batched = np.asarray(pipe._run_batch(engine.serving_variables,
                                              jnp.asarray(frames)))
         assert batched.shape[0] == 8
         for i in range(8):
-            single, _ = pipe._run(engine.variables,
+            single, _ = pipe._run(engine.serving_variables,
                                   jnp.asarray(frames[i]))
             np.testing.assert_array_equal(batched[i], np.asarray(single))
 

@@ -243,6 +243,29 @@ class TestOnChip:
         rel = np.abs(y_chw - y_ref).max() / scale
         assert rel <= 0.05, f"rel err {rel}"
 
+    def test_w16_weight_cache_parity_on_chip(self, rng):
+        """bf16-cached weights (``_w16``) vs float32 masters on the real
+        chip.  On CPU the two are BIT-identical (flax casts every f32
+        param to the module dtype before the arithmetic — asserted in
+        tests/test_models.py); on the MXU, XLA keeps extra precision
+        through the f32→bf16 weight convert (mixed-precision conv
+        lowering), so f32-arg serving resolves a handful of argmax ties
+        differently.  Measured 5/8192 label flips at this shape; assert
+        a tight tie-pixel budget (Engine.cache_weights; PERF.md 3f)."""
+        from bugcar_image_segmentation_tpu.configs import ModelConfig
+        from bugcar_image_segmentation_tpu.models.api import build_engine
+
+        cfg = ModelConfig(name="deeplab_xception", input_width=128,
+                          input_height=64, num_classes=15)
+        eng = build_engine("deeplab_xception", cfg)
+        eng16 = build_engine("deeplab_xception_w16", cfg,
+                             variables=eng.variables)
+        frame = rng.integers(0, 256, size=(64, 128, 3), dtype=np.uint8)
+        a = np.asarray(eng.predict(frame))
+        b = np.asarray(eng16.predict(frame))
+        flips = float((a != b).mean())
+        assert flips <= 0.005, f"label flip fraction {flips:.4%}"
+
     def test_fused_pipeline_end_to_end_contract(self, cal512):
         """One real frame through the whole fused program on the chip:
         value domain, dtype, and a deterministic repeat."""
