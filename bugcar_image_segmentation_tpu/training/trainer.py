@@ -66,11 +66,21 @@ def softmax_cross_entropy(logits: jax.Array,
     num_classes = logits.shape[-1]
     valid = (labels != ignore_label) & (labels < num_classes)
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    # One-hot contraction instead of take_along_axis: a per-pixel gather
+    # costs per INDEX on TPU (batch 8 @ 512x256 is ~1M indices) and its
+    # backward is a scatter; the equality mask fuses into compare/selects
+    # (the models/remap.py doctrine).  Computing nll as lse - picked also
+    # keeps the full (N, H, W, C) float32 log-softmax from materializing
+    # in HBM — only two (N, H, W) reductions do.
+    lf = logits.astype(jnp.float32)
+    onehot = safe[..., None] == jnp.arange(num_classes, dtype=jnp.int32)
+    lse = jax.nn.logsumexp(lf, axis=-1)
+    picked = jnp.sum(jnp.where(onehot, lf, 0.0), axis=-1)
+    nll = lse - picked
     w = valid.astype(jnp.float32)
     if class_weights is not None:
-        w = w * jnp.asarray(class_weights, jnp.float32)[safe]
+        cw = jnp.asarray(class_weights, jnp.float32)
+        w = w * jnp.sum(jnp.where(onehot, cw, 0.0), axis=-1)
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 

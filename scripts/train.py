@@ -113,7 +113,11 @@ def main() -> int:
         state = state.replace(params=variables["params"],
                               batch_stats=variables.get("batch_stats"))
     state = replicate(state, mesh)
-    train_step = jax.jit(make_train_step(model))
+    # Donate the carried state: params + AdamW moments update in place
+    # instead of allocating a second copy of every buffer each step
+    # (halves the optimizer-state HBM high-water mark; the loop never
+    # reuses the old state).
+    train_step = jax.jit(make_train_step(model), donate_argnums=(0,))
 
     if args.augment:
         from bugcar_image_segmentation_tpu.training.augment import (

@@ -130,6 +130,33 @@ class TestTraining:
                                   class_weights=jnp.asarray([1.0, 1.0, 1.0]))
         np.testing.assert_allclose(float(unw), float(w), rtol=1e-6)
 
+    def test_cross_entropy_matches_gather_formulation(self, rng):
+        """The one-hot contraction form (TPU-friendly: no per-pixel
+        gather/scatter) must agree with the textbook
+        log_softmax + take_along_axis formulation, with and without
+        class weights and ignore pixels."""
+        logits = jnp.asarray(rng.normal(size=(2, 8, 8, 5))
+                             .astype(np.float32))
+        labels = np.asarray(rng.integers(0, 5, size=(2, 8, 8)), np.int32)
+        labels[0, :2, :3] = 255   # ignored region
+        labels = jnp.asarray(labels)
+        cw = jnp.asarray([1.0, 0.5, 2.0, 1.5, 0.25])
+
+        def oracle(logits, labels, class_weights=None, ignore_label=255):
+            valid = (labels != ignore_label) & (labels < logits.shape[-1])
+            safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            w = valid.astype(jnp.float32)
+            if class_weights is not None:
+                w = w * jnp.asarray(class_weights, jnp.float32)[safe]
+            return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        for weights in (None, cw):
+            got = float(softmax_cross_entropy(logits, labels, weights))
+            want = float(oracle(logits, labels, weights))
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+
     def test_train_step_descends(self, rng):
         model = ENet(num_classes=15, dtype=jnp.float32)
         state = create_train_state(model, (1, 32, 64, 3),
