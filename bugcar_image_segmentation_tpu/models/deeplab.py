@@ -48,6 +48,14 @@ class ConvBN(nn.Module):
     # scripts/bench_dilated.py); plain 3x3s (decoder) are left to XLA.
     # Same param tree either way; training always uses nn.Conv.
     shift_matmul: Optional[bool] = None
+    # Inference lowering of the 3x3 stride-2 stem to 4x4 space-to-depth
+    # + one (px/16, 64*Cin)x(64*Cin, 4*Cout) matmul + depth-to-space
+    # (fastconv.S2d4StemConv2x) — the only stem reformulation that
+    # BEAT the stock conv at (512, 1024, 3) (0.489 -> 0.363 ms,
+    # scripts/bench_entry3.py; CHW / packed-s2d / phase-resident all
+    # measured slower, see PERF.md round 3h).  Default OFF; the
+    # Xception twin and the MNv2 stem turn it on.
+    s2d4_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -60,6 +68,23 @@ class ConvBN(nn.Module):
             from .fastconv import ShiftMatmulConv3x3
             y = ShiftMatmulConv3x3(self.features, dilation=self.dilation,
                                    dtype=self.dtype, name="Conv_0")(x)
+            y = nn.BatchNorm(use_running_average=True, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype,
+                             param_dtype=jnp.float32,
+                             name="BatchNorm_0")(y)
+            if self.act:
+                y = jnp.maximum(y, 0)
+                if self.relu6:
+                    y = jnp.minimum(y, 6)
+            return y
+
+        if (self.s2d4_stem and not train and self.kernel == (3, 3)
+                and self.strides == (2, 2) and self.groups == 1
+                and self.dilation == (1, 1)
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
+            from .fastconv import S2d4StemConv2x
+            y = S2d4StemConv2x(self.features, dtype=self.dtype,
+                               name="Conv_0")(x)
             y = nn.BatchNorm(use_running_average=True, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype,
                              param_dtype=jnp.float32,
@@ -195,7 +220,7 @@ class DeepLabV3(nn.Module):
             return max(8, int(c * self.width_mult + 4) // 8 * 8)
 
         y = ConvBN(ch(32), (3, 3), strides=(2, 2), dtype=dt,
-                   name="stem")(x, train)
+                   s2d4_stem=True, name="stem")(x, train)
         y = InvertedResidual(ch(16), expand=1, dtype=dt, name="ir1")(y, train)
         y = InvertedResidual(ch(24), strides=(2, 2), dtype=dt,
                              name="ir2_0")(y, train)

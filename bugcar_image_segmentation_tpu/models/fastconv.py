@@ -345,6 +345,72 @@ class FastDownConv2x(nn.Module):
         return y
 
 
+class S2d4StemConv2x(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3, 3), strides=(2, 2),
+    padding='SAME', use_bias=False)`` over H, W divisible by 4: 4x4
+    space-to-depth, then a 2x2-tap dense matmul emitting the four
+    output phases, then depth-to-space.
+
+    Derivation (even dims ⇒ SAME pads (0, 1)): ``y[o] = Σ_i x[2o+i] W[i]``
+    with ``o = 2q + u`` (q the 4-block, u the output phase) reads input
+    rows ``4q + 2u + i = 4q' * 4 + t``, i.e. s2d4 phase ``t = 2u + i``
+    of block ``q + (t >> 2)`` — a 2-tap conv per axis.  The weight
+    lands as a (16·Cin per tap → 4·features) matrix: rows ordered
+    (a, b, ry, rx, ci), columns (uy, ux, co); entry ``W[4a + ry - 2uy,
+    4b + rx - 2ux]`` where in range, else zero.
+
+    Why: the RGB stem's NHWC tensor has 3 channels on 128 lanes; every
+    reformulation that *re-touches* it (s2d to 12ch, CHW transpose,
+    phase chains) measured SLOWER than XLA's stock conv at (512, 1024)
+    — but packing straight to 48 channels with ONE reshape and doing
+    the conv as a single (HW/16, 192)@(192, 4·Cout) matmul measured
+    0.489 → 0.363 ms on the bench v5e (scripts/bench_entry3.py;
+    parity-exact).  Same param tree as the stock conv; the reference's
+    few-channel entry convs are reference models.py:98-113 (Xception
+    conv1_1) and models.py:100 (DeepLab stem).
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if x.shape[1] % 4 or x.shape[2] % 4:
+            raise ValueError(
+                f"S2d4StemConv2x needs H, W divisible by 4; got {x.shape}")
+        n, h, w, cin = x.shape
+        hq, wq = h // 4, w // 4
+        kernel = self.param("kernel", initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        kb = kernel.astype(self.dtype)
+        zero = jnp.zeros((cin, self.features), self.dtype)
+        rows = []
+        for a in (0, 1):
+            for b in (0, 1):
+                for ry in range(4):
+                    for rx in range(4):
+                        cols = []
+                        for uy in (0, 1):
+                            for ux in (0, 1):
+                                iy = 4 * a + ry - 2 * uy
+                                ix = 4 * b + rx - 2 * ux
+                                cols.append(kb[iy, ix]
+                                            if 0 <= iy < 3 and 0 <= ix < 3
+                                            else zero)
+                        rows.append(jnp.concatenate(cols, axis=-1))
+        wm = jnp.stack(rows, 0).reshape(64 * cin, 4 * self.features)
+
+        xp4 = space_to_depth4(x)                      # (n, hq, wq, 16c)
+        xpp = jnp.pad(xp4, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        taps = [xpp[:, a:a + hq, b:b + wq, :] for a in (0, 1)
+                for b in (0, 1)]
+        xm = jnp.concatenate(taps, axis=-1).reshape(n * hq * wq, 64 * cin)
+        y = lax.dot(xm.astype(self.dtype), wm,
+                    preferred_element_type=jnp.float32)
+        y = y.reshape(n, hq, wq, 4 * self.features).astype(self.dtype)
+        return depth_to_space(y)
+
+
 class ShiftMatmulConv3x3(nn.Module):
     """Stride-1 3x3 (optionally dilated) conv as nine shift+matmuls.
 
@@ -459,5 +525,6 @@ class DepthwiseConv3x3Shift(nn.Module):
 
 
 __all__ = ["FastConvTranspose2x", "FastDownConv2x", "FastStemConv2x",
-           "FastStemConv4x", "ShiftMatmulConv3x3", "DepthwiseConv3x3Shift",
-           "space_to_depth", "space_to_depth4", "depth_to_space"]
+           "FastStemConv4x", "S2d4StemConv2x", "ShiftMatmulConv3x3",
+           "DepthwiseConv3x3Shift", "space_to_depth", "space_to_depth4",
+           "depth_to_space"]

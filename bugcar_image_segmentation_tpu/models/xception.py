@@ -162,7 +162,7 @@ class Xception65DeepLab(nn.Module):
 
         # Entry flow.
         y = ConvBN(32, (3, 3), strides=(2, 2), relu6=False, dtype=dt,
-                   name="conv1_1")(x, train)
+                   s2d4_stem=True, name="conv1_1")(x, train)
         y = ConvBN(64, (3, 3), relu6=False, dtype=dt,
                    name="conv1_2")(y, train)
         y, _ = XceptionBlock((128, 128, 128), strides=(2, 2), dtype=dt,

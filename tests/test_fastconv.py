@@ -468,3 +468,52 @@ def test_sepconvbn_dw_shift_path_parity():
         out, mut = fast.apply(variables, x, train=True,
                               mutable=["batch_stats"])
         assert "depthwise_bn" in mut["batch_stats"]
+
+
+def test_s2d4_stem_parity():
+    from bugcar_image_segmentation_tpu.models.fastconv import S2d4StemConv2x
+
+    x = jax.random.normal(RNG, (2, 16, 24, 3), jnp.float32)
+    ref = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
+                  use_bias=False, dtype=jnp.float32,
+                  param_dtype=jnp.float32)
+    fast = S2d4StemConv2x(32, dtype=jnp.float32)
+    v = ref.init(RNG, x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(fast.init(RNG, x)))
+    np.testing.assert_allclose(fast.apply(v, x), ref.apply(v, x),
+                               atol=1e-5)
+
+
+def test_s2d4_stem_rejects_bad_input():
+    from bugcar_image_segmentation_tpu.models.fastconv import S2d4StemConv2x
+
+    fast = S2d4StemConv2x(8, dtype=jnp.float32)
+    v = fast.init(RNG, jnp.zeros((1, 16, 16, 3), jnp.float32))
+    with pytest.raises(ValueError, match="divisible by 4"):
+        fast.apply(v, jnp.zeros((1, 18, 16, 3), jnp.float32))
+
+
+def test_deeplab_convbn_s2d4_stem_parity():
+    from bugcar_image_segmentation_tpu.models.deeplab import ConvBN
+
+    x = jax.random.normal(RNG, (2, 16, 24, 3), jnp.float32)
+    slow = ConvBN(32, (3, 3), strides=(2, 2), dtype=jnp.float32)
+    fast = ConvBN(32, (3, 3), strides=(2, 2), dtype=jnp.float32,
+                  s2d4_stem=True)
+    v = slow.init(RNG, x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                fast.init(RNG, x, train=False)))
+    y_slow = slow.apply(v, x, train=False)
+    y_fast = fast.apply(v, x, train=False)
+    np.testing.assert_allclose(y_fast, y_slow, atol=2e-4, rtol=1e-4)
+    # Train apply falls back to the textbook conv (and updates BN).
+    _, mutated = fast.apply(v, x, train=True, mutable=["batch_stats"])
+    assert "BatchNorm_0" in mutated["batch_stats"]
+    # Odd-by-4 inputs fall back to the stock path rather than raising.
+    x14 = jax.random.normal(RNG, (1, 14, 16, 3), jnp.float32)
+    v14 = slow.init(RNG, x14, train=False)
+    np.testing.assert_allclose(
+        fast.apply(v14, x14, train=False),
+        slow.apply(v14, x14, train=False), atol=2e-4, rtol=1e-4)
