@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
-"""Train ENet on procedural road scenes and save a demo checkpoint.
+"""Train a backbone on procedural road scenes and save a demo checkpoint.
 
-Produces ``checkpoints/enet_synthetic.msgpack`` — real learned weights so
-demos/evals exercise meaningful drivability maps instead of random ones
-(the reference's weights never shipped: .MISSING_LARGE_BLOBS).
+Produces ``checkpoints/<model>_synthetic.msgpack`` — real learned weights
+so demos/evals exercise meaningful drivability maps instead of random
+ones (the reference's weights never shipped: .MISSING_LARGE_BLOBS).
+Works for every backbone in the zoo (--model), proving the training
+direction end to end: synthetic data -> AdamW steps on chip ->
+msgpack checkpoint -> Engine eval (3-class drivability IoU).
 
-  python scripts/make_demo_checkpoint.py [--steps 600] [--batch 8]
-      [--width 512 --height 256] [--out checkpoints/enet_synthetic.msgpack]
+  python scripts/make_demo_checkpoint.py [--model enet] [--steps 600]
+      [--batch 8] [--width 512 --height 256] [--out auto]
 """
 
 import argparse
@@ -21,12 +24,16 @@ sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
 
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="enet",
+                   help="any build_engine name: enet, deeplab, "
+                        "deeplab_xception, unet, segformer_b0, ...")
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--lr", type=float, default=2e-3)
-    p.add_argument("--out", default="checkpoints/enet_synthetic.msgpack")
+    p.add_argument("--out", default="auto",
+                   help="msgpack path; 'auto' = checkpoints/<model>_synthetic.msgpack")
     p.add_argument("--log-every", type=int, default=50)
     args = p.parse_args()
 
@@ -41,20 +48,30 @@ def main() -> int:
     from bugcar_image_segmentation_tpu.configs import ModelConfig
     from bugcar_image_segmentation_tpu.evaluation import evaluate_model
     from bugcar_image_segmentation_tpu.models import preprocess as pre
-    from bugcar_image_segmentation_tpu.models.api import Engine
-    from bugcar_image_segmentation_tpu.models.enet import ENet
-    from bugcar_image_segmentation_tpu.training import (create_train_state,
-                                                        make_train_step)
+    from bugcar_image_segmentation_tpu.models.api import build_engine
+    from bugcar_image_segmentation_tpu.training import make_train_step
+    from bugcar_image_segmentation_tpu.training.trainer import TrainState
     from bugcar_image_segmentation_tpu.utils import get_logger
     from bugcar_image_segmentation_tpu.utils.checkpoint import save_variables
 
+    import optax
+
     log = get_logger("make_demo_checkpoint")
     shape = (args.height, args.width)
-    cfg = ModelConfig(input_width=args.width, input_height=args.height,
-                      dtype="bfloat16")
-    model = ENet(num_classes=15, dtype=jnp.bfloat16)
-    state = create_train_state(model, (1, args.height, args.width, 3),
-                               learning_rate=args.lr)
+    if args.out == "auto":
+        args.out = f"checkpoints/{args.model}_synthetic.msgpack"
+    cfg = ModelConfig(name=args.model, input_width=args.width,
+                      input_height=args.height, dtype="bfloat16")
+    # build_engine JIT-compiles the init (eager flax init through the
+    # tunnel costs one compile per param op — PERF.md round 3).
+    engine = build_engine(args.model, cfg)
+    model = engine.module
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=engine.variables["params"],
+        batch_stats=engine.variables.get("batch_stats"),
+        tx=optax.adamw(args.lr),
+    )
     train_step = jax.jit(make_train_step(model))
     preprocess = jax.jit(lambda f: pre.preprocess_for_config(f, cfg))
 
@@ -67,7 +84,7 @@ def main() -> int:
         del rng
         return frames, labels
 
-    log.info("training ENet %dx%d for %d steps on %s ...",
+    log.info("training %s %dx%d for %d steps on %s ...", args.model,
              args.width, args.height, args.steps, jax.default_backend())
     key = jax.random.PRNGKey(0)
     t0 = time.time()
@@ -87,7 +104,7 @@ def main() -> int:
     log.info("saved %s", args.out)
 
     # Validation: drivability IoU on held-out scenes.
-    engine = Engine(model, cfg, variables=variables)
+    engine = build_engine(args.model, cfg, variables=variables)
     val = synthetic.dataset(seed=777, num=16, shape=shape)
     metrics = evaluate_model(engine, val)
     log.info("validation (3-class drivability): %s", metrics.summary())

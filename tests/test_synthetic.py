@@ -68,3 +68,26 @@ class TestTrainedCheckpoint:
         metrics = evaluate_model(engine, val)
         assert metrics.pixel_accuracy > 0.8, metrics.summary()
         assert metrics.mean_iou > 0.5, metrics.summary()
+
+
+@pytest.mark.parametrize("name", ["deeplab", "unet", "segformer_b0"])
+def test_zoo_checkpoints_learned_drivability(name):
+    """Every backbone's demo checkpoint (trained on-chip by
+    scripts/make_demo_checkpoint.py --model <name>) must segment
+    held-out synthetic scenes near-perfectly — the train→save→load→
+    infer cycle works across the whole zoo, not just ENet."""
+    path = os.path.join(REPO, "checkpoints", f"{name}_synthetic.msgpack")
+    if not os.path.exists(path):
+        pytest.skip(f"{name} demo checkpoint not built")
+    from bugcar_image_segmentation_tpu.evaluation import evaluate_model
+    from bugcar_image_segmentation_tpu.models.api import build_engine
+    from bugcar_image_segmentation_tpu.utils.checkpoint import load_variables
+
+    variables, cfg = load_variables(path)
+    assert cfg is not None
+    engine = build_engine(name, cfg, variables=variables)
+    val = synthetic.dataset(seed=999, num=4,
+                            shape=(cfg.input_height, cfg.input_width))
+    metrics = evaluate_model(engine, val)
+    assert metrics.pixel_accuracy > 0.9, (name, metrics.summary())
+    assert metrics.mean_iou > 0.8, (name, metrics.summary())
