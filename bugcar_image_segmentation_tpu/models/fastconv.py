@@ -123,11 +123,20 @@ class FastStemConv2x(nn.Module):
     padding='SAME', use_bias=False)``; same param tree, computed as
     space-to-depth + a dense 2x2 stride-1 conv (contraction 4*Cin instead
     of a strided 3x3 over Cin — matters when Cin is tiny, e.g. the RGB
-    stem, reference models.py:19's 512x256x3 input)."""
+    stem, reference models.py:19's 512x256x3 input).
+
+    ``pad="torch"`` computes the CENTERED convention instead —
+    ``torch.nn.Conv2d(..., padding=1)``, i.e. ``y[p] = Σ_i x[2p+i-1]
+    W[i]`` (the official SegFormer overlapped patch embeds) — by
+    flipping the pad side of both the weight fold and the phase map:
+    taps address blocks ``p-1+a`` with coefficient ``W[2a+r-1]``, so
+    ``wp`` lo-pads and the s2d map lo-pads, and the slicing code is
+    shared with the SAME path."""
 
     features: int
     use_bias: bool = False
     dtype: Any = jnp.bfloat16
+    pad: str = "same"
 
     @nn.compact
     def __call__(self, x: jax.Array, packed: bool = False,
@@ -144,13 +153,21 @@ class FastStemConv2x(nn.Module):
         the space-to-depth happens by pure reshapes of the CHW tensor
         and the output is transposed too (a fully-(C, pixels) SegFormer
         stage chain never leaves the orientation)."""
+        if self.pad not in ("same", "torch"):
+            raise ValueError(f"pad must be 'same' or 'torch', "
+                             f"got {self.pad!r}")
+        # SAME (even dims) lo-pads nothing: y[p] = Σ x[2p+i] W[i]; torch
+        # (padding=1) centers: y[p] = Σ x[2p+i-1] W[i].  Both reduce to
+        # the same 2x2-tap code with the pad side of the weight fold AND
+        # the phase map flipped (see the class docstring derivation).
+        pads = (1, 0) if self.pad == "torch" else (0, 1)
         if chw_in_nhw is not None:
             n, h, w = chw_in_nhw
             cin = x.shape[0]
             h2, w2 = h // 2, w // 2
             kernel = self.param("kernel", initializers.lecun_normal(),
                                 (3, 3, cin, self.features), jnp.float32)
-            wp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            wp = jnp.pad(kernel, (pads, pads, (0, 0), (0, 0)))
             rows = []
             for a in (0, 1):
                 cols = []
@@ -164,7 +181,7 @@ class FastStemConv2x(nn.Module):
             # CHW s2d: (r, s, c) channel order matching the NHWC layout.
             x6 = x.reshape(cin, n, h2, 2, w2, 2)
             xp4 = x6.transpose(3, 5, 0, 1, 2, 4).reshape(4 * cin, n, h2, w2)
-            cp = jnp.pad(xp4, ((0, 0), (0, 0), (0, 1), (0, 1)))
+            cp = jnp.pad(xp4, ((0, 0), (0, 0), pads, pads))
             taps = [cp[:, :, a:a + h2, b:b + w2]
                     for a in (0, 1) for b in (0, 1)]
             xcat = jnp.concatenate(taps, axis=0).reshape(16 * cin,
@@ -187,8 +204,9 @@ class FastStemConv2x(nn.Module):
         kernel = self.param("kernel", initializers.lecun_normal(),
                             (3, 3, cin, self.features), jnp.float32)
         # Even input ⇒ SAME pad is (0, 1): y[p] = sum_i x[2p+i] W[i], so
-        # W2[a, b, (r,s,ci), co] = W[2a+r, 2b+s] (0 when out of range).
-        wp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        # W2[a, b, (r,s,ci), co] = W[2a+r, 2b+s] (0 when out of range);
+        # torch pad=1 shifts the fold to W[2a+r-1] via the lo-padded wp.
+        wp = jnp.pad(kernel, (pads, pads, (0, 0), (0, 0)))
         rows = []
         for a in (0, 1):
             cols = []
@@ -202,7 +220,7 @@ class FastStemConv2x(nn.Module):
 
         if chw_out:
             n, h, w, c4 = xp.shape
-            cp = jnp.pad(xp, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            cp = jnp.pad(xp, ((0, 0), pads, pads, (0, 0)))
             taps = [cp[:, a:a + h, b:b + w, :] for a in (0, 1)
                     for b in (0, 1)]
             x16 = jnp.concatenate(taps, axis=-1)        # (n, h, w, 4*c4)
@@ -219,7 +237,7 @@ class FastStemConv2x(nn.Module):
 
         y = lax.conv_general_dilated(
             xp.astype(self.dtype), w2.astype(self.dtype),
-            (1, 1), ((0, 1), (0, 1)), dimension_numbers=_DN)
+            (1, 1), (pads, pads), dimension_numbers=_DN)
         if self.use_bias:
             bias = self.param("bias", initializers.zeros_init(),
                               (self.features,), jnp.float32)
@@ -245,11 +263,19 @@ class FastStemConv4x(nn.Module):
     padding, reproducing the original pad-lo-1/hi-2 exactly.  Same param
     tree as the stock conv.  This is SegFormer's stage-1 overlapped patch
     embed (models/segformer.py), a measured 1.3 ms hotspot on RGB at
-    1024² (PERF.md)."""
+    1024² (PERF.md).
+
+    ``pad="torch"`` computes ``torch.nn.Conv2d(..., padding=3)`` (the
+    official SegFormer convention) instead: ``y[p] = Σ_i x[4p+i-3]
+    W[i]`` reads s2d4 blocks ``p-1+a`` with coefficient ``W[4a+r-1]``,
+    a ∈ {0, 1} — because 7 = 4+3 aligns the centered window to the
+    phase boundary, the fold needs only 2x2 taps (vs SAME's 3x3) over
+    the lo-padded phase map."""
 
     features: int
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
+    pad: str = "same"
 
     @nn.compact
     def __call__(self, x: jax.Array, chw_out: bool = False) -> jax.Array:
@@ -261,35 +287,54 @@ class FastStemConv4x(nn.Module):
         if x.shape[1] % 4 or x.shape[2] % 4:
             raise ValueError(
                 f"FastStemConv4x needs H, W divisible by 4; got {x.shape}")
+        if self.pad not in ("same", "torch"):
+            raise ValueError(f"pad must be 'same' or 'torch', "
+                             f"got {self.pad!r}")
         cin = x.shape[-1]
         kernel = self.param("kernel", initializers.lecun_normal(),
                             (7, 7, cin, self.features), jnp.float32)
-        # W2[a, b, (r, s, ci), co] = W[4a+r+1, 4b+s+1]; index via a
-        # zero-padded copy so out-of-range taps vanish.
-        wp = jnp.pad(kernel, ((1, 4), (1, 4), (0, 0), (0, 0)))
+        if self.pad == "torch":
+            # W2[a, b, (r, s, ci), co] = W[4a+r-1, 4b+s-1], a ∈ {0, 1}
+            # (blocks p-1+a, see the class docstring); lo-padded wp
+            # zeroes the one out-of-range tap W[-1].
+            wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            taps_ab = (0, 1)
+            data_pads = (1, 0)
+
+            def wblock(a, r, b, s):
+                return wp[4 * a + r, 4 * b + s]
+        else:
+            # W2[a, b, (r, s, ci), co] = W[4a+r-3, 4b+s-3] (SAME lo=1);
+            # wp's lo-pad 1 makes that wp[4a+r-2].
+            wp = jnp.pad(kernel, ((1, 4), (1, 4), (0, 0), (0, 0)))
+            taps_ab = (0, 1, 2)                # a-1 ∈ {-1, 0, 1}
+            data_pads = (1, 1)
+
+            def wblock(a, r, b, s):
+                if 0 <= 4 * a + r - 2 < 11 and 0 <= 4 * b + s - 2 < 11:
+                    return wp[4 * a + r - 2, 4 * b + s - 2]
+                return jnp.zeros_like(kernel[0, 0])
+        nt = len(taps_ab)
         rows = []
-        for a in (0, 1, 2):                    # a-1 ∈ {-1, 0, 1}
+        for a in taps_ab:
             cols = []
-            for b in (0, 1, 2):
-                blocks = [wp[4 * a + r - 2, 4 * b + s - 2]
-                          if 0 <= 4 * a + r - 2 < 11
-                          and 0 <= 4 * b + s - 2 < 11
-                          else jnp.zeros_like(kernel[0, 0])
+            for b in taps_ab:
+                blocks = [wblock(a, r, b, s)
                           for r in range(4) for s in range(4)]
                 cols.append(jnp.stack(blocks, axis=0))   # (16, ci, co)
-            rows.append(jnp.stack(cols, axis=0))         # (3, 16, ci, co)
-        w2 = jnp.stack(rows, axis=0)                     # (3, 3, 16, ci, co)
-        w2 = w2.reshape(3, 3, 16 * cin, self.features)
+            rows.append(jnp.stack(cols, axis=0))         # (nt, 16, ci, co)
+        w2 = jnp.stack(rows, axis=0)                   # (nt, nt, 16, ci, co)
+        w2 = w2.reshape(nt, nt, 16 * cin, self.features)
 
         if chw_out:
             xp4 = space_to_depth4(x)
             n, h4, w4, c16 = xp4.shape
-            cp = jnp.pad(xp4, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            cp = jnp.pad(xp4, ((0, 0), data_pads, data_pads, (0, 0)))
             taps = [cp[:, a:a + h4, b:b + w4, :]
-                    for a in range(3) for b in range(3)]
-            x144 = jnp.concatenate(taps, axis=-1)       # (n, h4, w4, 9*c16)
-            xt = x144.reshape(n * h4 * w4, 9 * c16).T
-            wt = w2.reshape(9 * c16, self.features).T   # (co, (a,b,rs,ci))
+                    for a in range(nt) for b in range(nt)]
+            xcat = jnp.concatenate(taps, axis=-1)   # (n, h4, w4, nt²*c16)
+            xt = xcat.reshape(n * h4 * w4, nt * nt * c16).T
+            wt = w2.reshape(nt * nt * c16, self.features).T
             y = lax.dot(wt.astype(self.dtype), xt.astype(self.dtype),
                         preferred_element_type=jnp.float32)
             y = y.astype(self.dtype)                    # (features, N*H4*W4)
@@ -301,7 +346,7 @@ class FastStemConv4x(nn.Module):
 
         y = lax.conv_general_dilated(
             space_to_depth4(x).astype(self.dtype), w2.astype(self.dtype),
-            (1, 1), ((1, 1), (1, 1)), dimension_numbers=_DN)
+            (1, 1), (data_pads, data_pads), dimension_numbers=_DN)
         if self.use_bias:
             bias = self.param("bias", initializers.zeros_init(),
                               (self.features,), jnp.float32)

@@ -57,6 +57,11 @@ class OverlapPatchEmbed(nn.Module):
     kernel: int
     stride: int
     dtype: Any = jnp.bfloat16
+    # "same" (this repo's historical convention) or "torch" — the
+    # official implementation's centered padding=k//2
+    # (convert/torch_segformer.py pours HF checkpoints; the receptive
+    # fields only line up under "torch").
+    pad: str = "same"
 
     @nn.compact
     def __call__(self, x: jax.Array, chw_out: bool = False,
@@ -73,23 +78,26 @@ class OverlapPatchEmbed(nn.Module):
             if (self.kernel, self.stride) != (3, 2):
                 raise ValueError("chw_in is only for the k3s2 embeds")
             xt = FastStemConv2x(self.features, use_bias=True,
-                                dtype=self.dtype, name="Conv_0")(
-                                    x, chw_in_nhw=chw_in_nhw)
+                                dtype=self.dtype, pad=self.pad,
+                                name="Conv_0")(x, chw_in_nhw=chw_in_nhw)
             return ChwLayerNorm(self.features, dtype=self.dtype,
                                 name="LayerNorm_0")(xt)
         if chw_out:
             if (self.kernel, self.stride) == (7, 4):
                 xt = FastStemConv4x(self.features, use_bias=True,
-                                    dtype=self.dtype, name="Conv_0")(
-                                        x, chw_out=True)
+                                    dtype=self.dtype, pad=self.pad,
+                                    name="Conv_0")(x, chw_out=True)
             elif (self.kernel, self.stride) == (3, 2):
                 xt = FastStemConv2x(self.features, use_bias=True,
-                                    dtype=self.dtype, name="Conv_0")(
-                                        x, chw_out=True)
+                                    dtype=self.dtype, pad=self.pad,
+                                    name="Conv_0")(x, chw_out=True)
             else:
+                hp = self.kernel // 2
+                padding = ([(hp, hp)] * 2 if self.pad == "torch"
+                           else "SAME")
                 y = nn.Conv(self.features, (self.kernel, self.kernel),
                             strides=(self.stride, self.stride),
-                            padding="SAME", dtype=self.dtype,
+                            padding=padding, dtype=self.dtype,
                             param_dtype=jnp.float32, name="Conv_0")(x)
                 n_, h_, w_, c_ = y.shape
                 xt = y.reshape(n_ * h_ * w_, c_).T
@@ -97,10 +105,12 @@ class OverlapPatchEmbed(nn.Module):
                                 name="LayerNorm_0")(xt)
         if (self.kernel, self.stride) == (7, 4):
             x = FastStemConv4x(self.features, use_bias=True,
-                               dtype=self.dtype, name="Conv_0")(x)
+                               dtype=self.dtype, pad=self.pad,
+                               name="Conv_0")(x)
         elif (self.kernel, self.stride) == (3, 2):
             x = FastStemConv2x(self.features, use_bias=True,
-                               dtype=self.dtype, name="Conv_0")(x)
+                               dtype=self.dtype, pad=self.pad,
+                               name="Conv_0")(x)
         else:
             x = nn.Conv(self.features, (self.kernel, self.kernel),
                         strides=(self.stride, self.stride), padding="SAME",
@@ -197,12 +207,18 @@ class EfficientAttention(nn.Module):
 
 
 class MixFFN(nn.Module):
-    """SegFormer's FFN with a 3x3 depthwise conv instead of pos-encoding."""
+    """SegFormer's FFN with a 3x3 depthwise conv instead of pos-encoding.
+
+    ``exact_gelu``: use the erf GELU (the official implementation's
+    ``nn.GELU()``) instead of flax's default tanh approximation — only
+    matters when pouring torch checkpoints (convert/torch_segformer.py).
+    """
 
     dim: int
     expansion: int = 4
     dtype: Any = jnp.bfloat16
     quant: bool = False
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, hw: Tuple[int, int],
@@ -214,7 +230,7 @@ class MixFFN(nn.Module):
                          name="fc1")(x)
             y = ChwDepthwise3x3(hidden, dtype=self.dtype,
                                 name="dwconv")(y, (chw_n, h, w))
-            y = nn.gelu(y)
+            y = nn.gelu(y, approximate=not self.exact_gelu)
             return ChwDense(self.dim, quant=self.quant, dtype=self.dtype,
                             name="fc2")(y)
         n, l, c = x.shape
@@ -225,7 +241,7 @@ class MixFFN(nn.Module):
                     feature_group_count=hidden, dtype=self.dtype,
                     param_dtype=jnp.float32, name="dwconv")(y)
         y = y.reshape(n, l, hidden)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=not self.exact_gelu)
         return _dense(self.dim, quant=self.quant, dtype=self.dtype,
                       name="fc2")(y)
 
@@ -236,6 +252,7 @@ class Block(nn.Module):
     sr_ratio: int
     dtype: Any = jnp.bfloat16
     quant: bool = False
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, hw: Tuple[int, int],
@@ -255,6 +272,7 @@ class Block(nn.Module):
                                    name="attn")(ln(x, "norm1"), hw,
                                                 chw_n=chw_n, train=train)
         x = x + MixFFN(self.dim, dtype=self.dtype, quant=self.quant,
+                       exact_gelu=self.exact_gelu,
                        name="ffn")(ln(x, "norm2"), hw, chw_n=chw_n)
         return x
 
@@ -320,6 +338,14 @@ class SegFormer(nn.Module):
     # argmax near class boundaries (the same trade as the grid's
     # interpolation="native"); engine name suffix ``_q``.
     head_upsample: str = "full"
+    # Official-implementation compatibility (NVlabs SegFormer / HF
+    # transformers): centered (k//2) patch-embed padding and exact erf
+    # GELU instead of this repo's SAME + tanh-approx conventions.  Same
+    # parameter tree; required for poured torch checkpoints
+    # (convert/torch_segformer.py) to reproduce the official numerics —
+    # under "same" padding the embed receptive fields are shifted one
+    # pixel and real weights lose accuracy silently.
+    torch_compat: bool = False
 
     @classmethod
     def preset(cls, size: str, **overrides) -> "SegFormer":
@@ -343,6 +369,8 @@ class SegFormer(nn.Module):
         n, h0, w0, _ = x.shape
 
         full_chw = (not train) and self.chw_stages >= 4 and self.chw_head
+        epad = "torch" if self.torch_compat else "same"
+        egelu = self.torch_compat
 
         feats = []      # NHWC (stock / partial-chw path)
         feats_t = []    # (xt, (h, w)) — fully-transposed path
@@ -356,15 +384,18 @@ class SegFormer(nn.Module):
                 if full_chw and s > 0:
                     # previous stage left xt transposed: CHW-in embed
                     xt = OverlapPatchEmbed(
-                        c, k, stride, dtype=dt, name=f"embed{s}")(
+                        c, k, stride, dtype=dt, pad=epad,
+                        name=f"embed{s}")(
                             xt, chw_in_nhw=(n, h * stride, w * stride))
                 else:
                     xt = OverlapPatchEmbed(c, k, stride, dtype=dt,
+                                           pad=epad,
                                            name=f"embed{s}")(x,
                                                              chw_out=True)
                 for b in range(self.depths[s]):
                     xt = Block(c, self.num_heads[s], self.sr_ratios[s],
                                dtype=dt, quant=self.quant,
+                               exact_gelu=egelu,
                                name=f"stage{s}_block{b}")(xt, (h, w),
                                                           chw_n=n)
                 xt = ChwLayerNorm(c, dtype=dt, name=f"norm{s}")(xt)
@@ -377,11 +408,12 @@ class SegFormer(nn.Module):
                     feats.append(x)
             else:
                 x = OverlapPatchEmbed(c, k, stride, dtype=dt,
-                                      name=f"embed{s}")(x)
+                                      pad=epad, name=f"embed{s}")(x)
                 x = x.reshape(n, h * w, c)
                 for b in range(self.depths[s]):
                     x = Block(c, self.num_heads[s], self.sr_ratios[s],
                               dtype=dt, quant=self.quant,
+                              exact_gelu=egelu,
                               name=f"stage{s}_block{b}")(x, (h, w),
                                                          train=train)
                 x = nn.LayerNorm(dtype=jnp.float32,

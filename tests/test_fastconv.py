@@ -517,3 +517,48 @@ def test_deeplab_convbn_s2d4_stem_parity():
     np.testing.assert_allclose(
         fast.apply(v14, x14, train=False),
         slow.apply(v14, x14, train=False), atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("module,kernel,stride", [
+    ("stem2x", 3, 2), ("stem4x", 7, 4)])
+def test_stem_torch_pad_parity(module, kernel, stride):
+    # pad="torch" computes torch.nn.Conv2d(..., padding=k//2) — the
+    # official SegFormer patch-embed convention (convert/torch_segformer
+    # pours HF checkpoints) — via 2x2-tap phase folds (vs SAME's 3x3).
+    from bugcar_image_segmentation_tpu.models.fastconv import FastStemConv4x
+
+    cls = FastStemConv2x if module == "stem2x" else FastStemConv4x
+    x = jax.random.normal(RNG, (2, 16, 24, 5), jnp.float32)
+    m = cls(6, use_bias=True, dtype=jnp.float32, pad="torch")
+    v = m.init(RNG, x)
+    hp = kernel // 2
+    ref = jax.lax.conv_general_dilated(
+        x, v["params"]["kernel"], (stride, stride),
+        ((hp, hp), (hp, hp)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + v["params"]["bias"]
+    np.testing.assert_allclose(m.apply(v, x), ref, atol=1e-5)
+    # chw_out orientation too
+    yt = m.apply(v, x, chw_out=True)
+    np.testing.assert_allclose(
+        yt.T.reshape(ref.shape), ref, atol=1e-5)
+
+
+def test_stem2x_torch_pad_chw_in_parity():
+    x = jax.random.normal(RNG, (2, 16, 24, 5), jnp.float32)
+    m = FastStemConv2x(6, use_bias=True, dtype=jnp.float32, pad="torch")
+    v = m.init(RNG, x)
+    ref = jax.lax.conv_general_dilated(
+        x, v["params"]["kernel"], (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + v["params"]["bias"]
+    xt = x.reshape(-1, 5).T
+    yt = m.apply(v, xt, chw_in_nhw=(2, 16, 24))
+    np.testing.assert_allclose(yt.T.reshape(ref.shape), ref, atol=1e-5)
+
+
+def test_stem_bad_pad_rejected():
+    from bugcar_image_segmentation_tpu.models.fastconv import FastStemConv4x
+
+    x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    for cls in (FastStemConv2x, FastStemConv4x):
+        with pytest.raises(ValueError, match="pad must be"):
+            cls(4, dtype=jnp.float32, pad="valid").init(RNG, x)
