@@ -24,6 +24,9 @@ def main() -> None:
     ap.add_argument("--stages", type=int, nargs="+", default=(0, 1, 2, 3, 4))
     ap.add_argument("--iters", type=int, nargs=2, default=(8, 24))
     ap.add_argument("--quant", action="store_true")
+    ap.add_argument("--torch-compat", action="store_true",
+                    help="centered embeds + exact gelu (the "
+                         "poured-HF-checkpoint configuration)")
     ap.add_argument("--head", type=int, nargs="+", default=(1,),
                     help="chw_head values to sweep (fully-transposed "
                          "decode head; only active at chw_stages=4)")
@@ -51,7 +54,8 @@ def main() -> None:
     x0 = jax.random.uniform(jax.random.PRNGKey(0), (1, r, r, 3),
                             jnp.float32)
 
-    base = SegFormer.preset(args.size, quant=args.quant)
+    base = SegFormer.preset(args.size, quant=args.quant,
+                            torch_compat=args.torch_compat)
     # Jitted init: eager init individually compiles/dispatches every
     # param op through the tunnel (~0.4 s each, minutes total — measured
     # round 3); one jitted program compiles once.
@@ -107,6 +111,7 @@ def main() -> None:
         for hd in args.head:
             for up in args.upsample:
                 m = SegFormer.preset(args.size, quant=args.quant,
+                                     torch_compat=args.torch_compat,
                                      chw_stages=k, chw_head=bool(hd),
                                      head_upsample=up)
                 t = slope(m)

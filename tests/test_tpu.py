@@ -243,6 +243,51 @@ class TestOnChip:
         rel = np.abs(y_chw - y_ref).max() / scale
         assert rel <= 0.05, f"rel err {rel}"
 
+    def test_torch_pad_stems_on_chip(self, rng):
+        """The centered-padding phase folds (fastconv pad="torch", the
+        poured-HF-checkpoint configuration) against the lax oracle on
+        real XLA:TPU, in both orientations (round 3: new fold code)."""
+        from bugcar_image_segmentation_tpu.models.fastconv import (
+            FastStemConv2x, FastStemConv4x)
+
+        x = jnp.asarray(rng.normal(size=(2, 32, 48, 3)), jnp.float32)
+        for cls, stride in ((FastStemConv2x, 2), (FastStemConv4x, 4)):
+            m = cls(16, use_bias=True, dtype=jnp.float32, pad="torch")
+            v = m.init(jax.random.PRNGKey(0), x)
+            hp = (3 if stride == 4 else 1)
+            ref = jax.lax.conv_general_dilated(
+                x, v["params"]["kernel"], (stride, stride),
+                ((hp, hp), (hp, hp)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) + v["params"]["bias"]
+            y = jax.jit(m.apply)(v, x)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                       atol=1e-4)
+            yt = jax.jit(lambda v, x, m=m: m.apply(v, x, chw_out=True))(v, x)
+            np.testing.assert_allclose(
+                np.asarray(yt).T.reshape(ref.shape), np.asarray(ref),
+                atol=1e-4)
+
+    def test_segformer_torch_compat_paths_agree_on_chip(self, rng):
+        """torch_compat=True (centered embeds + exact gelu): the CHW
+        serving path vs the textbook path on the chip — the two must
+        agree like the default-convention pair above."""
+        from bugcar_image_segmentation_tpu.models.segformer import SegFormer
+
+        x = jnp.asarray(rng.normal(size=(1, 128, 128, 3)), jnp.float32)
+        m_chw = SegFormer(num_classes=15, torch_compat=True)
+        m_ref = SegFormer(num_classes=15, torch_compat=True,
+                          chw_stages=0, chw_head=False)
+        v = m_chw.init(jax.random.PRNGKey(0), x, train=False)
+        y_chw = np.asarray(jax.jit(
+            lambda v, x: m_chw.apply(v, x, train=False))(v, x))
+        y_ref = np.asarray(jax.jit(
+            lambda v, x: m_ref.apply(v, x, train=False))(v, x))
+        assert np.isfinite(y_chw).all()
+        scale = np.abs(y_ref).max() + 1e-9
+        rel = np.abs(y_chw - y_ref).max() / scale
+        assert rel <= 0.05, f"rel err {rel}"
+
     def test_w16_weight_cache_parity_on_chip(self, rng):
         """bf16-cached weights (``_w16``) vs float32 masters on the real
         chip.  On CPU the two are BIT-identical (flax casts every f32
