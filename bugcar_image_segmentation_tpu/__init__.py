@@ -20,6 +20,7 @@ Layer map (bottom-up):
   fov         BEV field-of-view footprint/outline
   evaluation  accuracy / IoU / bit-parity harness
   msg         nav_msgs/OccupancyGrid semantics, ROS-free (+rospy edge)
+  deploy      AOT frozen-graph artifacts (jax.export StableHLO)
   training/   loss, train state, sharded train steps
   parallel/   device meshes, camera-sharded multi-view inference
   io/         frame sources, capture threads, native C++ frame ring

@@ -1,0 +1,176 @@
+"""AOT deployment artifact tests (deploy.py).
+
+The frozen artifact is the TPU-native analogue of the reference's
+``pretrained_models/*.pb`` frozen graphs (utils.py:49-83): weights baked
+as constants, symbolic batch dim, loadable without the model code.  These
+tests assert (a) parity between the artifact and the live engine /
+pipeline it was frozen from — up to a float argmax TIE budget: baking
+weights as constants lets XLA constant-fold weight arithmetic, which can
+move a logit one ULP and flip a tie pixel (measured 1/131k on a trained
+ENet; same deviation class as ``cache_weights``) — (b) the freeze
+semantics — the artifact is a snapshot that later ``load_variables``
+calls must NOT affect, and (c) the container format round-trips metadata.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bugcar_image_segmentation_tpu import deploy
+from bugcar_image_segmentation_tpu.configs import (CalibrationConfig,
+                                                   GridConfig, ModelConfig)
+from bugcar_image_segmentation_tpu.models.api import Engine, build_engine
+from bugcar_image_segmentation_tpu.models.enet import ENet
+from bugcar_image_segmentation_tpu.pipeline import Pipeline
+
+from test_pipeline_eval import GRID, make_cal
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = ModelConfig(input_width=64, input_height=32, dtype="float32")
+    return Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+
+
+def frames(rng, n, h=32, w=64):
+    return rng.integers(0, 255, (n, h, w, 3), dtype=np.uint8)
+
+
+# Constant-folded weights can flip float argmax TIE pixels (module
+# docstring); uint8 label maps otherwise match exactly.
+TIE_BUDGET = 5e-4
+
+
+def assert_labels_match(got, want):
+    got, want = np.asarray(got), np.asarray(want)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    frac = np.mean(got != want)
+    assert frac <= TIE_BUDGET, f"label mismatch {frac:.2%} > tie budget"
+
+
+class TestEngineExport:
+    def test_symbolic_batch_parity(self, engine, rng, tmp_path):
+        path = str(tmp_path / "enet.bcseg")
+        deploy.export_engine_to(path, engine)
+        dep = deploy.load_artifact(path)
+        for n in (1, 3):
+            x = frames(rng, n)
+            assert_labels_match(dep(x), engine.predict(x))
+        # rank-3 convenience mirrors Engine.predict
+        x1 = frames(rng, 1)[0]
+        assert_labels_match(dep.predict(x1), engine.predict(x1))
+
+    def test_static_batch(self, engine, rng, tmp_path):
+        path = str(tmp_path / "enet_b2.bcseg")
+        deploy.export_engine_to(path, engine, batch=2)
+        dep = deploy.load_artifact(path)
+        x = frames(rng, 2)
+        assert_labels_match(dep(x), engine.predict(x))
+        with pytest.raises(Exception):
+            dep(frames(rng, 3))
+
+    def test_binary_endpoint(self, engine, rng, tmp_path):
+        path = str(tmp_path / "enet_bin.bcseg")
+        deploy.export_engine_to(path, engine, fn="predict_binary")
+        dep = deploy.load_artifact(path)
+        x = frames(rng, 2)
+        assert_labels_match(dep(x), engine.predict_binary(x))
+        assert dep.meta["fn"] == "predict_binary"
+
+    def test_unknown_endpoint_rejected(self, engine):
+        with pytest.raises(ValueError, match="fn must be one of"):
+            deploy.export_engine(engine, fn="forward")
+
+    def test_frozen_snapshot_semantics(self, rng, tmp_path):
+        """The artifact must NOT track later weight swaps — that is the
+        deliberate inversion of the Engine weights-are-arguments rule
+        (deploy.py module docstring)."""
+        cfg = ModelConfig(input_width=64, input_height=32, dtype="float32")
+        eng = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        path = str(tmp_path / "snap.bcseg")
+        deploy.export_engine_to(path, eng)
+        dep = deploy.load_artifact(path)
+        x = frames(rng, 2)
+        before = np.asarray(eng.predict(x))
+        assert_labels_match(dep(x), before)
+        # Perturb the live engine's weights hard enough to change labels.
+        noisy = jax.tree_util.tree_map(
+            lambda a: (a + 3.0 * jax.random.normal(
+                jax.random.PRNGKey(7), a.shape, a.dtype)
+                       if jnp.issubdtype(a.dtype, jnp.floating) else a),
+            eng.variables)
+        eng.load_variables(noisy)
+        after = np.asarray(eng.predict(x))
+        assert_labels_match(dep(x), before)
+        assert np.mean(before != after) > 0.01, \
+            "perturbation should have changed the live engine's labels"
+
+    def test_quarter_head_lift_exported(self, rng, tmp_path):
+        # The _q grammar's nearest label lift happens inside _predict_impl,
+        # so artifacts keep the input-resolution output contract.
+        eng = build_engine("deeplab_q", cfg=ModelConfig(
+            name="deeplab_q", input_width=64, input_height=32,
+            num_classes=15, dtype="float32"))
+        path = str(tmp_path / "dlq.bcseg")
+        deploy.export_engine_to(path, eng)
+        dep = deploy.load_artifact(path)
+        x = frames(rng, 2)
+        y = np.asarray(dep(x))
+        assert y.shape == (2, 32, 64)
+        assert_labels_match(y, eng.predict(x))
+
+
+class TestPipelineExport:
+    def test_frame_to_grid_parity(self, engine, rng, tmp_path):
+        pipe = Pipeline(engine, make_cal(), GRID)
+        path = str(tmp_path / "pipe.bcseg")
+        deploy.export_pipeline_to(path, pipe)
+        dep = deploy.load_artifact(path)
+        frame = frames(rng, 1)[0]
+        grid, seg = dep(frame)
+        g0, s0 = pipe.segment_and_grid(frame)
+        assert_labels_match(grid, g0)
+        assert_labels_match(seg, s0)
+        assert dep.meta["kind"] == "pipeline"
+        assert dep.meta["mode"] == "multiclass"
+
+    def test_i420_requires_shape(self, engine):
+        pipe = Pipeline(engine, make_cal(), GRID, host_resize=True,
+                        transport="i420")
+        with pytest.raises(ValueError, match="frame_shape is required"):
+            deploy.export_pipeline(pipe)
+
+    def test_i420_with_shape(self, engine, rng, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from bugcar_image_segmentation_tpu.ops.yuv import (bgr_to_i420_host,
+                                                           i420_shape)
+        pipe = Pipeline(engine, make_cal(), GRID, host_resize=True,
+                        transport="i420")
+        packed_shape = i420_shape((32, 64))
+        path = str(tmp_path / "pipe_i420.bcseg")
+        deploy.export_pipeline_to(path, pipe, frame_shape=packed_shape)
+        dep = deploy.load_artifact(path)
+        frame = frames(rng, 1)[0]
+        packed = bgr_to_i420_host(frame)
+        grid, _ = dep(packed)
+        g0, _ = pipe.segment_and_grid(frame)
+        assert_labels_match(grid, g0)
+
+
+class TestContainer:
+    def test_bad_magic_rejected(self, tmp_path):
+        p = tmp_path / "junk.bcseg"
+        p.write_bytes(b"not an artifact")
+        with pytest.raises(ValueError, match="bad magic"):
+            deploy.load_artifact(str(p))
+
+    def test_meta_roundtrip(self, engine, tmp_path):
+        path = str(tmp_path / "meta.bcseg")
+        deploy.export_engine_to(path, engine, meta={"note": "r3"})
+        dep = deploy.load_artifact(path)
+        assert dep.meta["note"] == "r3"
+        assert dep.meta["kind"] == "engine"
+        assert dep.meta["input_hw"] == [32, 64]
+        assert dep.meta["num_classes"] == 15
+        assert any("uint8" in a for a in dep.meta["in_avals"])

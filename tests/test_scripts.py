@@ -150,3 +150,21 @@ class TestTrainCLI:
         variables, cfg = load_variables(str(out))
         assert "params" in variables
         assert cfg is not None and cfg.input_width == 96
+
+
+class TestExportCLI:
+    def test_exports_and_inspects_artifact(self, tmp_path):
+        out = tmp_path / "enet.bcseg"
+        # export = jax.export lowering only (no XLA compile), so the
+        # default 512x256 enet stays test-fast; --smoke would compile.
+        r = run([f"{REPO}/scripts/export_model.py", "--model", "enet",
+                 "--out", str(out)], timeout=900)
+        assert r.returncode == 0, r.stderr
+        assert out.exists() and out.stat().st_size > 0
+        meta = json.loads(r.stdout.rsplit("wrote", 1)[0])
+        assert meta["kind"] == "engine" and meta["fn"] == "predict"
+        assert meta["input_hw"] == [256, 512]
+        # --load inspection path (no compile either)
+        r2 = run([f"{REPO}/scripts/export_model.py", "--load", str(out)])
+        assert r2.returncode == 0, r2.stderr
+        assert json.loads(r2.stdout)["model"] == "enet"
