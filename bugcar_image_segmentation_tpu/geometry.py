@@ -180,6 +180,36 @@ def corners_from_edge_lines(lines: Sequence[Sequence[Sequence[float]]]
     return np.stack(corners)
 
 
+def order_corners_for_calibration(corners: np.ndarray,
+                                  yaw: float = 0.0) -> np.ndarray:
+    """Reorder camera-image tile corners into the solver's convention.
+
+    ``calculate_transform_matrix`` pairs ``tile_coords`` positionally
+    with :func:`bev_tile_corners`, whose order is
+    ``order_points_counter_clockwise`` relative to the yaw-rotated
+    fiducial x-axis (reference bev.py:85 orders only the BEV side; the
+    camera side was the job of the missing calibration script, which is
+    what reference utils.py:10-44 exists for).  This applies the same
+    labeling on the camera side: axis = the corners' centroid toward
+    image direction ``(cos yaw, sin yaw)`` — for a forward camera the
+    fiducial x-axis appears image-right rotated by roughly the same
+    yaw, and the split-by-axis labeling is stable under ground-plane
+    perspective (property-tested over all 4! input orders,
+    tests/test_geometry.py).
+
+    Accepts corners in ANY order (cyclic from
+    :func:`corners_from_edge_lines`, arbitrary clicks) and returns the
+    (4, 2) convention-ordered copy to hand to the solver.
+    """
+    corners = np.asarray(corners, dtype=np.float64)
+    if corners.shape != (4, 2):
+        raise ValueError(f"need (4, 2) corners, got {corners.shape}")
+    center = corners.mean(axis=0)
+    axis = np.stack([center,
+                     center + np.array([np.cos(yaw), np.sin(yaw)])])
+    return order_points_counter_clockwise(corners, axis)
+
+
 # ---------------------------------------------------------------------------
 # BEV corner construction (calibration core)
 # ---------------------------------------------------------------------------
@@ -257,6 +287,7 @@ __all__ = [
     "order_points_counter_clockwise",
     "find_intersection_line",
     "corners_from_edge_lines",
+    "order_corners_for_calibration",
     "bev_tile_corners",
     "calculate_transform_matrix",
 ]

@@ -301,4 +301,4 @@ def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array
                       v.astype(jnp.float32)).astype(q.dtype)
 
 
-__all__ = ["flash_attention", "attention_reference"]
+__all__ = ["flash_attention", "flash_attention_t", "attention_reference"]

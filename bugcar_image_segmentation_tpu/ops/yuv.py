@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .resize import upsample_nearest_int
+
 
 def i420_shape(frame_hw: tuple) -> tuple:
     """(H, W) → the packed I420 buffer shape (3H/2, W)."""
@@ -48,11 +50,10 @@ def i420_to_bgr(packed: jax.Array, frame_hw: tuple) -> jax.Array:
     u = packed[h:h * 5 // 4].reshape(h // 2, w // 2).astype(jnp.float32)
     v = packed[h * 5 // 4:].reshape(h // 2, w // 2).astype(jnp.float32)
 
-    def up2(p):
-        return jnp.repeat(jnp.repeat(p, 2, axis=0), 2, axis=1)
-
-    uu = up2(u) - 128.0
-    vv = up2(v) - 128.0
+    # Chroma ×2 via broadcast+reshape (ops/resize.py) — jnp.repeat
+    # lowers to gathers, the per-index cost class this runs every frame.
+    uu = upsample_nearest_int(u, 2) - 128.0
+    vv = upsample_nearest_int(v, 2) - 128.0
     yy = 1.164 * (y - 16.0)
     r = yy + 1.596 * vv
     g = yy - 0.813 * vv - 0.391 * uu

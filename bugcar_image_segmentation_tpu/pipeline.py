@@ -171,13 +171,22 @@ class Pipeline:
             k = frames.shape[0]
             chunk = 4
             one = lambda v, f: run(v, f)[0]
-            if k <= chunk or k % chunk:
+            if k <= chunk:
                 return jax.vmap(one, in_axes=(None, 0))(variables, frames)
-            fr = frames.reshape((k // chunk, chunk) + frames.shape[1:])
+            # Never vmap more than `chunk` frames in one program — pad
+            # ragged batches up to a chunk multiple (recomputing a few
+            # head frames) and drop the extras, instead of silently
+            # falling back to the whole-batch vmap whose working set
+            # spills VMEM (measured 2x/frame at batch 8, PERF.md).
+            pad = -k % chunk
+            if pad:
+                frames = jnp.concatenate([frames, frames[:pad]], axis=0)
+            fr = frames.reshape(((k + pad) // chunk, chunk)
+                                + frames.shape[1:])
             grids = jax.lax.map(
                 lambda c: jax.vmap(one, in_axes=(None, 0))(variables, c),
                 fr)
-            return grids.reshape((k,) + grids.shape[2:])
+            return grids.reshape((k + pad,) + grids.shape[2:])[:k]
 
         # Variables ride along as a runtime argument (see models/api.py) so
         # engine.load_variables() affects compiled pipelines immediately.

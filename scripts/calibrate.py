@@ -84,6 +84,10 @@ def main() -> int:
             lines = [(pts[2 * i], pts[2 * i + 1]) for i in range(4)]
             corners = geometry.corners_from_edge_lines(lines)
             print(f"corners from edge intersections:\n{corners}")
+        # The solver pairs corners positionally with the BEV-side
+        # convention order (geometry.bev_tile_corners); reorder here so
+        # any click/edge order yields the correct correspondence.
+        corners = geometry.order_corners_for_calibration(corners, args.yaw)
         m = bev.calculate_transform_matrix(corners)
         bev.save_to_json(args.out)
         print(f"saved {args.out}\nmatrix:\n{m}")
@@ -143,6 +147,8 @@ def main() -> int:
                 print("corners from edge intersections:\n", corners)
             else:
                 corners = np.array(clicked)
+            corners = geometry.order_corners_for_calibration(
+                corners, args.yaw)
             bev.calculate_transform_matrix(corners)
             calibrated = True
             print("calibrated:\n", bev.matrix)

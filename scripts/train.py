@@ -142,16 +142,19 @@ def main() -> int:
             del akey
             return pre.preprocess_for_config(frames, cfg), labels
 
-    key = jax.random.PRNGKey(0)
+    # Disjoint root keys per consumer: folding ONE key by step for both
+    # would make step t's dropout key collide with some step's
+    # augmentation key (fold_in(k, i) is the same function either way).
+    aug_key, step_key = jax.random.split(jax.random.PRNGKey(0))
     for step, (frames, labels) in enumerate(batches()):
         if step >= args.steps:
             break
         images, labels = preprocess(jnp.asarray(frames),
                                     jnp.asarray(labels),
-                                    jax.random.fold_in(key, 2 * step + 1))
+                                    jax.random.fold_in(aug_key, step))
         images, labels = shard_batch((images, labels), mesh)
         state, loss = train_step(state, images, labels,
-                                 jax.random.fold_in(key, step))
+                                 jax.random.fold_in(step_key, step))
         if step % args.log_every == 0:
             log.info("step %d loss %.4f", step, float(loss))
 

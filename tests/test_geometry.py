@@ -147,3 +147,48 @@ class TestBEVCorners:
             (512, 512), (10.0, 120.0), 60.0, 1.0, 0.3)
         got = geometry.apply_homography(m, tile_img.astype(np.float32))
         np.testing.assert_allclose(got, expected, atol=1e-3)
+
+
+class TestOrderCornersForCalibration:
+    """The camera-side labeling must match the BEV-side convention, or
+    the solved homography pairs corners diagonally (a twisted warp)."""
+
+    def _camera_corners(self, yaw):
+        # Known ground truth: map the BEV tile corners through a
+        # plausible BEV→camera homography (forward camera: far edge of
+        # the ground shorter than the near edge).  The correspondence
+        # camera[i] ↔ bev[i] is then known by construction.
+        bev_pts = geometry.bev_tile_corners((512, 512), (5.0, 110.0),
+                                            60.0, 2.0, yaw)
+        sq = np.array([[0.0, 512.0], [512.0, 512.0],
+                       [0.0, 0.0], [512.0, 0.0]])
+        trap = np.array([[100.0, 256.0], [412.0, 256.0],
+                         [200.0, 120.0], [312.0, 120.0]])
+        h_b2c = geometry.get_perspective_transform(sq, trap)
+        return geometry.apply_homography(h_b2c, bev_pts), bev_pts
+
+    @pytest.mark.parametrize("yaw", [0.0, 0.12, -0.3])
+    def test_recovers_convention_from_any_input_order(self, yaw):
+        import itertools
+        cam, _ = self._camera_corners(yaw)
+        for perm in itertools.permutations(range(4)):
+            ordered = geometry.order_corners_for_calibration(
+                cam[list(perm)], yaw)
+            np.testing.assert_allclose(ordered, cam, atol=1e-9)
+
+    def test_solved_matrix_is_not_twisted(self):
+        # End-to-end: shuffled corners → order → solve → each camera
+        # corner must land on ITS OWN BEV spot (not a diagonal swap).
+        yaw = 0.12
+        cam, bev_pts = self._camera_corners(yaw)
+        shuffled = cam[[2, 0, 3, 1]]
+        ordered = geometry.order_corners_for_calibration(shuffled, yaw)
+        m = geometry.calculate_transform_matrix(
+            ordered, output_shape=(512, 512), dist2target=(5.0, 110.0),
+            tile_length=60.0, cm_per_px=2.0, yaw=yaw)
+        got = geometry.apply_homography(m, cam.astype(np.float32))
+        np.testing.assert_allclose(got, bev_pts, atol=1e-2)
+
+    def test_rejects_wrong_shape(self):
+        with pytest.raises(ValueError, match=r"\(4, 2\)"):
+            geometry.order_corners_for_calibration(np.zeros((3, 2)))

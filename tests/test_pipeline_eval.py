@@ -91,6 +91,22 @@ class TestPipeline:
         for frame, got in zip(frames, streamed):
             np.testing.assert_array_equal(got, np.asarray(pipe(frame)))
 
+    def test_ragged_batch_chunks_and_matches(self, engine, rng):
+        """run_batch must chunk EVERY k > 4 — including non-multiples
+        (k=6 used to fall back to one whole-batch vmap, the VMEM-spill
+        regime) — padding up and dropping extras, grids unchanged."""
+        cal = make_cal()
+        pipe = Pipeline(engine, cal, GRID)
+        for k in (6, 9):
+            frames = np.stack([rng.integers(0, 256, size=(48, 96, 3),
+                                            dtype=np.uint8)
+                               for _ in range(k)])
+            grids = np.asarray(pipe._run_batch(
+                pipe.engine.serving_variables, jnp.asarray(frames)))
+            assert grids.shape[0] == k
+            for frame, got in zip(frames, grids):
+                np.testing.assert_array_equal(got, np.asarray(pipe(frame)))
+
     def test_stream_batched_does_not_retrace(self, engine, rng):
         """A second stream(transfer_batch=K) call must reuse the compiled
         batched program (VERDICT r1: a per-call lambda was re-jitted and

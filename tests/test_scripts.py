@@ -39,20 +39,23 @@ class TestCalibrateCLI:
         assert np.asarray(data["bev matrix"]).shape == (3, 3)
 
     def test_edge_line_calibration_matches_corner_mode(self, tmp_path):
-        # 4 edge lines whose consecutive intersections are exactly the
-        # corner-mode fiducials → identical matrix JSON (the reference's
-        # find_intersection_line flow, image_processing_utils.py:63-91).
+        # The same physical tile given two ways — 4 edge lines in order
+        # around the tile (the reference's find_intersection_line flow,
+        # image_processing_utils.py:63-91) and 4 corners clicked in a
+        # DIFFERENT, arbitrary order — must produce the same matrix:
+        # the CLI reorders into the solver convention
+        # (geometry.order_corners_for_calibration) in both modes.
         corners = np.array([[210.0, 170.0], [305.0, 168.0],
-                            [330.0, 235.0], [185.0, 242.0]])
-        # line i runs corner i-1 → corner i, so line i ∩ line i+1 = c[i]
+                            [330.0, 235.0], [185.0, 242.0]])  # TL TR BR BL
         def along(a, b, t):
             return a + t * (b - a)
+        # line i = tile edge from corner i to corner i+1 (top, right,
+        # bottom, left); corners_from_edge_lines yields a CYCLIC corner
+        # order that is NOT the solver convention — the CLI must fix it.
         edges = []
         for i in range(4):
-            a, b = corners[i - 1], corners[i]
+            a, b = corners[i], corners[(i + 1) % 4]
             edges += [along(a, b, 0.2), along(a, b, 0.8)]
-        # rotate: corners_from_edge_lines gives line[i] ∩ line[i+1];
-        # with line i = (c[i-1], c[i]) that intersection is c[i].
         args = [f"{p[0]},{p[1]}" for p in edges]
         out_e = tmp_path / "edge.json"
         out_c = tmp_path / "corner.json"
@@ -62,15 +65,13 @@ class TestCalibrateCLI:
         r = run([f"{REPO}/scripts/calibrate.py", "--edges", *args,
                  *common, "--out", str(out_e)])
         assert r.returncode == 0, r.stderr
+        # corner mode clicked in a shuffled order (BR, TL, BL, TR)
         r = run([f"{REPO}/scripts/calibrate.py", "--corners",
-                 "210,170", "305,168", "330,235", "185,242",
+                 "330,235", "210,170", "185,242", "305,168",
                  *common, "--out", str(out_c)])
         assert r.returncode == 0, r.stderr
         me = np.asarray(json.loads(out_e.read_text())["bev matrix"])
         mc = np.asarray(json.loads(out_c.read_text())["bev matrix"])
-        # corner i from edges = line i ∩ line i+1 = corners[i]; the
-        # solver sorts corners counter-clockwise internally, so any
-        # rotation of the same 4 points yields the same homography.
         np.testing.assert_allclose(me, mc, atol=1e-6)
 
     def test_missing_mode_errors(self, tmp_path):
