@@ -360,3 +360,27 @@ class TestOnChip:
         assert g1.dtype == np.int8
         assert set(np.unique(g1)) <= {-1, 0, 100}
         np.testing.assert_array_equal(g1, g2)
+
+    def test_deploy_artifact_roundtrip_on_chip(self, rng, tmp_path):
+        """Frozen jax.export artifacts must lower, serialize, reload and
+        RUN on real TPU — including the SegFormer whose attention is a
+        Pallas (Mosaic) custom call, the riskiest thing to serialize.
+        Measured deviation class: constant-baked bf16 weights flip f32
+        argmax ties (deploy.py docstring); budget accordingly."""
+        from bugcar_image_segmentation_tpu import deploy
+        from bugcar_image_segmentation_tpu.configs import ModelConfig
+        from bugcar_image_segmentation_tpu.models.api import build_engine
+
+        seg = build_engine("segformer_b0", cfg=ModelConfig(
+            name="segformer_b0", input_width=256, input_height=256,
+            num_classes=15))
+        path = str(tmp_path / "segformer_b0.bcseg")
+        deploy.export_engine_to(path, seg)
+        dep = deploy.load_artifact(path)
+        assert dep.meta["platforms"] == ["tpu"]
+        x = rng.integers(0, 255, (1, 256, 256, 3), dtype=np.uint8)
+        y = np.asarray(dep(x))
+        ref = np.asarray(seg.predict(x))
+        assert y.shape == ref.shape == (1, 256, 256)
+        frac = float((y != ref).mean())
+        assert frac < 0.02, f"artifact/live mismatch {frac:.2%}"
