@@ -24,7 +24,7 @@ serves the BASELINE config-5 capability the TPU way.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -81,12 +81,27 @@ class ChwDense(nn.Module):
     min_n: int = 512
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 fold: Optional[jax.Array] = None) -> jax.Array:
+        """``fold``: optional (features, F2) f32 matrix COMPOSED into the
+        layer in-program — ``y = (W @ fold)ᵀ x + (b @ fold)``.  Exactly a
+        following bias-free linear layer fused at the weight level (two
+        linears with no activation between commute with composition), so
+        the big matmul runs once with the composed kernel instead of
+        twice; the composition itself is a tiny (Cin, features) ×
+        (features, F2) matmul per dispatch.  Param tree unchanged.
+        SegFormer's decode head uses this to fold each stage's fuse
+        slice into ``linear_c`` at SOURCE resolution (models/segformer.py).
+        """
         cin = x.shape[0]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (cin, self.features), jnp.float32)
+        features = self.features
+        if fold is not None:
+            kernel = kernel @ fold            # f32 composition
+            features = fold.shape[1]
         dt = jnp.dtype(self.dtype)
-        if self.quant and cin >= self.min_k and self.features >= self.min_n:
+        if self.quant and cin >= self.min_k and features >= self.min_n:
             xf = x.astype(jnp.float32)
             x_s = jnp.max(jnp.abs(xf), axis=0, keepdims=True) / 127.0
             x_s = jnp.maximum(x_s, 1e-12)                     # (1, M)
@@ -103,6 +118,8 @@ class ChwDense(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
+            if fold is not None:
+                bias = bias @ fold
             y = y + bias[:, None]
         return y.astype(dt)
 
@@ -115,14 +132,33 @@ class ChwConv1x1(nn.Module):
     channel counts sum to Cin — the parts case computes
     ``W @ concat(parts)`` as a sum of per-part matmuls WITHOUT
     materializing the concatenation (SegFormer's decode-head fuse over
-    4 × decoder_dim channels is a 128 MB concat at 1024² otherwise)."""
+    4 × decoder_dim channels is a 128 MB concat at 1024² otherwise).
+
+    ``x=None`` (requires ``in_features``) creates/reads the params but
+    returns the raw (Cin, Cout) f32 kernel instead of computing —
+    callers that fold this layer into an upstream one
+    (:meth:`ChwDense.__call__` ``fold``) read the weights here so the
+    variable tree keeps the exact conv layout."""
 
     features: int
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
+    in_features: Optional[int] = None
 
     @nn.compact
     def __call__(self, x) -> jax.Array:
+        if x is None:
+            if self.in_features is None:
+                raise ValueError("x=None (param-only mode) requires "
+                                 "in_features")
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (1, 1, self.in_features, self.features),
+                                jnp.float32)
+            if self.use_bias:        # keep the tree identical either way
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                return kernel[0, 0], bias
+            return kernel[0, 0]
         parts = x if isinstance(x, (list, tuple)) else [x]
         cin = sum(int(p.shape[0]) for p in parts)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),

@@ -434,18 +434,32 @@ class SegFormer(nn.Module):
             # dominates), so ops/resize.upsample_bilinear_int is NOT
             # used on this path.
             th, tw = feats_t[0][1]
-            parts = []
+            dd = self.decoder_dim
+            # Fold the fuse into each linear_c: the stock head is
+            # linear_c → bilinear up → concat → bias-free 1×1 fuse, all
+            # linear with no activation between, so
+            # fuse(concat(up(proj_s)))  ==  Σ_s up((W_p_s @ W_f_s) x_s)
+            # — the fuse's per-part (dd, dd) matmul moves from 1/4 res
+            # (4 × H/4·W/4 tokens: 309 GFLOP of B2@1024²'s head, 47% of
+            # the forward) into the weight composition, a ~1 GFLOP
+            # (C_s, dd) @ (dd, dd) per dispatch.  Kernel layout: the
+            # fuse kernel is in concat(parts[::-1]) order (stage 3
+            # first), so stage s takes rows (3-s)·dd:(4-s)·dd.  Param
+            # tree unchanged (ChwConv1x1 param-only mode).  Same math,
+            # float-tie-level numerics (tests budget it).
+            w_fuse = ChwConv1x1(dd, use_bias=False, dtype=dt,
+                                in_features=4 * dd, name="fuse")(None)
+            y = None
             for s, (ft, (hs, ws)) in enumerate(feats_t):
-                p = ChwDense(self.decoder_dim, quant=self.quant, dtype=dt,
-                             name=f"linear_c{s}")(ft)
+                fold = w_fuse[(3 - s) * dd:(4 - s) * dd]
+                p = ChwDense(dd, quant=self.quant, dtype=dt,
+                             name=f"linear_c{s}")(ft, fold=fold)
                 if (hs, ws) != (th, tw):
                     p = jax.image.resize(
-                        p.reshape(self.decoder_dim, n, hs, ws),
-                        (self.decoder_dim, n, th, tw), method="bilinear")
-                parts.append(p.reshape(self.decoder_dim, n * th * tw)
-                             .astype(dt))
-            y = ChwConv1x1(self.decoder_dim, use_bias=False, dtype=dt,
-                           name="fuse")(parts[::-1])
+                        p.reshape(dd, n, hs, ws),
+                        (dd, n, th, tw), method="bilinear")
+                p = p.reshape(dd, n * th * tw).astype(dt)
+                y = p if y is None else y + p
             y = ChwBatchNorm(self.decoder_dim, epsilon=1e-5, dtype=dt,
                              name="fuse_bn")(y)
             y = nn.relu(y)
