@@ -142,6 +142,28 @@ def export_pipeline(pipeline: Any,
     return jax_export.export(jax.jit(frozen), **kwargs)(spec)
 
 
+def export_multicam(pipeline: Any,
+                    platforms: Optional[Sequence[str]] = None
+                    ) -> jax_export.Exported:
+    """Freeze a :class:`~.pipeline.MultiCameraPipeline`'s rig program.
+
+    The exported callable maps an (N_cam, H, W, 3) uint8 batch to the
+    stitched int8 vehicle grid (BASELINE config 4's serving unit:
+    per-camera grids max-merged, pipeline.py MultiCameraPipeline).
+    """
+    n_cam = len(pipeline.builders)
+    cfg = pipeline.engine.cfg
+    variables = jax.device_get(pipeline.engine.variables)
+
+    def frozen(frames):
+        return pipeline._run_impl(variables, frames)
+
+    spec = jax.ShapeDtypeStruct(
+        (n_cam, cfg.input_height, cfg.input_width, 3), jnp.uint8)
+    kwargs = {} if platforms is None else {"platforms": list(platforms)}
+    return jax_export.export(jax.jit(frozen), **kwargs)(spec)
+
+
 def save_artifact(path: str,
                   exported: jax_export.Exported,
                   meta: Optional[dict] = None) -> None:
@@ -233,6 +255,18 @@ def export_pipeline_to(path: str,
     save_artifact(path, exported, header)
 
 
-__all__ = ["export_engine", "export_pipeline", "save_artifact",
-           "load_artifact", "Deployed", "export_engine_to",
-           "export_pipeline_to"]
+def export_multicam_to(path: str,
+                       pipeline: Any,
+                       platforms: Optional[Sequence[str]] = None,
+                       meta: Optional[dict] = None) -> None:
+    """:func:`export_multicam` + :func:`save_artifact` with standard meta."""
+    exported = export_multicam(pipeline, platforms=platforms)
+    header = {"kind": "multicam", "n_cameras": len(pipeline.builders),
+              "model": getattr(pipeline.engine.cfg, "name", "?")}
+    header.update(meta or {})
+    save_artifact(path, exported, header)
+
+
+__all__ = ["export_engine", "export_pipeline", "export_multicam",
+           "save_artifact", "load_artifact", "Deployed",
+           "export_engine_to", "export_pipeline_to", "export_multicam_to"]

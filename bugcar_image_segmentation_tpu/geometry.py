@@ -163,8 +163,12 @@ def corners_from_edge_lines(lines: Sequence[Sequence[Sequence[float]]]
     ((x1, y1), (x2, y2)).  Corner ``i`` is the intersection of line
     ``i`` and line ``(i+1) % 4``.
 
-    Returns a (4, 2) float array; raises ValueError if any consecutive
-    pair is parallel (no corner).
+    Returns a (4, 2) float array in CYCLIC (traversal) order — NOT the
+    solver's convention; pass the result through
+    :func:`order_corners_for_calibration` before
+    :func:`calculate_transform_matrix` or the homography pairs corners
+    diagonally.  Raises ValueError if any consecutive pair is parallel
+    (no corner).
     """
     lines = [np.asarray(l, dtype=np.float64) for l in lines]
     if len(lines) != 4:

@@ -388,6 +388,7 @@ class MultiCameraPipeline:
             return stitch_grids(jnp.stack(grids))
 
         self._run = jax.jit(run)
+        self._run_impl = run  # un-jitted body for AOT export (deploy.py)
 
     def __call__(self, frames_bgr) -> jax.Array:
         """(N_cam, H, W, 3) uint8 BGR → stitched int8 grid."""

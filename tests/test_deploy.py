@@ -174,3 +174,17 @@ class TestContainer:
         assert dep.meta["input_hw"] == [32, 64]
         assert dep.meta["num_classes"] == 15
         assert any("uint8" in a for a in dep.meta["in_avals"])
+
+
+class TestMulticamExport:
+    def test_rig_roundtrip(self, engine, rng, tmp_path):
+        from bugcar_image_segmentation_tpu.pipeline import MultiCameraPipeline
+        cals = [make_cal(yaw=0.12), make_cal(yaw=-0.4)]
+        rig = MultiCameraPipeline(engine, cals, GRID)
+        path = str(tmp_path / "rig.bcseg")
+        deploy.export_multicam_to(path, rig)
+        dep = deploy.load_artifact(path)
+        assert dep.meta["kind"] == "multicam"
+        assert dep.meta["n_cameras"] == 2
+        x = frames(rng, 2)
+        assert_labels_match(dep(x), rig(x))

@@ -562,3 +562,80 @@ def test_stem_bad_pad_rejected():
     for cls in (FastStemConv2x, FastStemConv4x):
         with pytest.raises(ValueError, match="pad must be"):
             cls(4, dtype=jnp.float32, pad="valid").init(RNG, x)
+
+
+class TestChwDenseFold:
+    """ChwDense(fold=W2) == ChwConv1x1-after-ChwDense at the weight
+    level (models/chw.py) — the SegFormer decode-head fuse fold."""
+
+    def test_fold_matches_two_step(self):
+        from bugcar_image_segmentation_tpu.models.chw import (ChwConv1x1,
+                                                              ChwDense)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(24, 100)).astype(np.float32))
+        dense = ChwDense(16, dtype=jnp.float32)
+        v = dense.init(jax.random.PRNGKey(1), x)
+        w2 = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+        two_step = w2.T @ np.asarray(dense.apply(v, x))
+        folded = dense.apply(v, x, fold=w2)
+        np.testing.assert_allclose(np.asarray(folded), np.asarray(two_step),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_param_tree_unchanged_by_fold(self):
+        from bugcar_image_segmentation_tpu.models.chw import ChwDense
+        x = jnp.zeros((24, 10), jnp.float32)
+        dense = ChwDense(16, dtype=jnp.float32)
+        v0 = dense.init(jax.random.PRNGKey(0), x)
+        v1 = dense.init(jax.random.PRNGKey(0), x,
+                        fold=jnp.zeros((16, 8), jnp.float32))
+        assert (jax.tree_util.tree_map(lambda a: a.shape, v0)
+                == jax.tree_util.tree_map(lambda a: a.shape, v1))
+
+    def test_conv1x1_param_only_mode(self):
+        from bugcar_image_segmentation_tpu.models.chw import ChwConv1x1
+        conv = ChwConv1x1(8, use_bias=False, dtype=jnp.float32,
+                          in_features=24)
+        v = conv.init(jax.random.PRNGKey(0), None)
+        w = conv.apply(v, None)
+        assert w.shape == (24, 8)
+        # same tree as the computing mode
+        x = jnp.zeros((24, 10), jnp.float32)
+        v2 = ChwConv1x1(8, use_bias=False,
+                        dtype=jnp.float32).init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(v2))
+        assert (jax.tree_util.tree_map(lambda a: a.shape, v)
+                == jax.tree_util.tree_map(lambda a: a.shape, v2))
+
+    def test_conv1x1_param_only_with_bias_keeps_tree(self):
+        from bugcar_image_segmentation_tpu.models.chw import ChwConv1x1
+        x = jnp.zeros((6, 10), jnp.float32)
+        conv_c = ChwConv1x1(4, dtype=jnp.float32)
+        conv_p = ChwConv1x1(4, dtype=jnp.float32, in_features=6)
+        vc = conv_c.init(jax.random.PRNGKey(0), x)
+        vp = conv_p.init(jax.random.PRNGKey(0), None)
+        assert (jax.tree_util.tree_map(lambda a: a.shape, vc)
+                == jax.tree_util.tree_map(lambda a: a.shape, vp))
+        w, b = conv_p.apply(vp, None)
+        assert w.shape == (6, 4) and b.shape == (4,)
+
+    def test_conv1x1_param_only_requires_in_features(self):
+        from bugcar_image_segmentation_tpu.models.chw import ChwConv1x1
+        with pytest.raises(ValueError, match="in_features"):
+            ChwConv1x1(8, dtype=jnp.float32).init(jax.random.PRNGKey(0),
+                                                  None)
+
+    def test_fold_with_quant_gate(self):
+        # Quantized fold: gate checks the FOLDED output width.
+        from bugcar_image_segmentation_tpu.models.chw import ChwDense
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(512, 64)).astype(np.float32))
+        dense = ChwDense(600, dtype=jnp.float32, quant=True)
+        v = dense.init(jax.random.PRNGKey(1), x)
+        w2 = jnp.asarray(rng.normal(size=(600, 512)).astype(np.float32)
+                         / 24.5)
+        exact = ChwDense(600, dtype=jnp.float32).apply(v, x, fold=w2)
+        got = dense.apply(v, x, fold=w2)
+        err = (np.linalg.norm(np.asarray(got) - np.asarray(exact))
+               / np.linalg.norm(np.asarray(exact)))
+        assert err < 0.05, err
