@@ -169,3 +169,25 @@ class TestExportCLI:
         r2 = run([f"{REPO}/scripts/export_model.py", "--load", str(out)])
         assert r2.returncode == 0, r2.stderr
         assert json.loads(r2.stdout)["model"] == "enet"
+
+
+class TestServeRigCLI:
+    def test_synthetic_rig_ticks(self, tmp_path):
+        # two calibrations (different yaws) for a 2-camera rig
+        outs = []
+        for i, yaw in enumerate(("0.12", "-0.4")):
+            out = tmp_path / f"cal{i}.json"
+            r = run([f"{REPO}/scripts/calibrate.py",
+                     "--corners", "210,170", "305,168", "330,235",
+                     "185,242",
+                     "--input-size", "512x256", "--output-size", "512x512",
+                     "--dist2target", "5,110", "--tile-length", "60",
+                     "--cm-per-px", "2", "--yaw", yaw, "--out", str(out)])
+            assert r.returncode == 0, r.stderr
+            outs.append(str(out))
+        r = run([f"{REPO}/scripts/serve_rig.py", "--calibs", *outs,
+                 "--synthetic", "4", "--model", "enet",
+                 "--grid", "8x8x0.1", "--temporal-fusion"], timeout=900)
+        assert r.returncode == 0, r.stderr
+        assert "4 rig ticks" in r.stderr or "4 rig ticks" in r.stdout, (
+            r.stdout + r.stderr)
