@@ -11,10 +11,10 @@ annotations, XLA inserting the ICI collectives:
 from .mesh import (Mesh, NamedSharding, P, data_sharding, make_mesh,
                    replicate, replicated, shard_batch)
 from .multicam import ShardedMultiCameraPipeline
-from .tp import shard_params_tp, tp_spec_for
+from .tp import shard_engine_tp, shard_params_tp, tp_spec_for
 
 __all__ = [
     "Mesh", "NamedSharding", "P", "data_sharding", "make_mesh",
     "replicate", "replicated", "shard_batch", "ShardedMultiCameraPipeline",
-    "shard_params_tp", "tp_spec_for",
+    "shard_engine_tp", "shard_params_tp", "tp_spec_for",
 ]

@@ -60,4 +60,27 @@ def shard_params_tp(tree, mesh: Mesh, axis: str = "model",
     return jax.tree_util.tree_map_with_path(place, tree)
 
 
-__all__ = ["shard_params_tp", "tp_spec_for"]
+def shard_engine_tp(engine, mesh: Mesh, axis: str = "model",
+                    min_channels: int = 64):
+    """Serve an :class:`~..models.api.Engine` tensor-parallel.
+
+    Channel-shards the engine's variable tree over the mesh's ``axis``
+    and lets GSPMD propagate: the same jitted predict/pipeline programs
+    then run each wide conv/dense column-parallel with XLA-inserted
+    collectives — no model-code changes, exactly the mechanism the
+    dp×tp train step uses (tests/test_parallel.py).  Flat-buffer
+    packing is disabled first: packed buffers concatenate leaves and
+    would destroy the per-leaf channel shardings (packing exists for
+    remote-link marshaling; TP serving is a multi-chip, co-located
+    regime where it does not apply).
+
+    Returns the engine (mutated in place).  Parity: same labels as the
+    unsharded engine (tests/test_parallel.py::test_tp_engine_predict).
+    """
+    engine.pack_weights(False)
+    engine.variables = shard_params_tp(engine.variables, mesh, axis,
+                                       min_channels)
+    return engine
+
+
+__all__ = ["shard_params_tp", "tp_spec_for", "shard_engine_tp"]
