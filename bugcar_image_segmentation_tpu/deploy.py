@@ -216,8 +216,14 @@ def load_artifact(path: str) -> Deployed:
     if not data.startswith(_MAGIC):
         raise ValueError(f"{path!r} is not a bugcar deploy artifact "
                          f"(bad magic {data[:6]!r})")
+    if len(data) < len(_MAGIC) + 4:
+        raise ValueError(f"{path!r} is truncated (no header length)")
     (hlen,) = struct.unpack_from("<I", data, len(_MAGIC))
     off = len(_MAGIC) + 4
+    if off + hlen > len(data):
+        raise ValueError(
+            f"{path!r} is truncated or corrupt: header claims {hlen} "
+            f"bytes but only {len(data) - off} remain")
     meta = json.loads(data[off:off + hlen].decode("utf-8"))
     exported = jax_export.deserialize(data[off + hlen:])
     return Deployed(exported, meta)

@@ -86,6 +86,12 @@ class Engine:
         # Set by cache_weights(): serve from low-precision weights
         # (re-applied on every load_variables).  None = float32 masters.
         self.weights_dtype: Optional[jnp.dtype] = None
+        # Optional placement hook (tree -> tree) re-applied by every
+        # weight-management API, so device placements survive weight
+        # swaps.  parallel.tp.shard_engine_tp installs the TP channel
+        # shardings here — without it, load_variables would silently
+        # replace the sharded tree with a replicated one.
+        self.weights_placer: Optional[Callable] = None
         if variables is None:
             dummy = jnp.zeros((1, cfg.input_height, cfg.input_width, 3),
                               jnp.dtype(cfg.dtype))
@@ -220,6 +226,8 @@ class Engine:
         jax.tree_util.tree_map(lambda a, b: None, self.variables, variables)
         if self.weights_dtype is not None:
             variables = _cast_float_tree(variables, self.weights_dtype)
+        if self.weights_placer is not None:
+            variables = self.weights_placer(variables)
         self.variables = variables
         if self._pack is not None:
             self._pack = packing.pack_tree(self.variables,
@@ -250,6 +258,8 @@ class Engine:
         """
         self.weights_dtype = jnp.dtype(dtype)
         self.variables = _cast_float_tree(self.variables, self.weights_dtype)
+        if self.weights_placer is not None:
+            self.variables = self.weights_placer(self.variables)
         if self._pack is not None:
             self._pack = packing.pack_tree(self.variables,
                                            self._pack_cutoff)
@@ -272,6 +282,12 @@ class Engine:
         ``self.variables`` stays the plain tree for training /
         checkpoint / converter interop.
         """
+        if enable and self.weights_placer is not None:
+            raise ValueError(
+                "packing is incompatible with a weights placer (e.g. "
+                "tensor-parallel shardings, parallel.tp.shard_engine_tp):"
+                " flat buffers concatenate leaves and would destroy the "
+                "per-leaf placements")
         self._pack_cutoff = max_leaf_bytes
         self._pack = (packing.pack_tree(self.variables, max_leaf_bytes)
                       if enable else None)

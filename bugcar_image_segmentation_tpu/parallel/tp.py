@@ -74,12 +74,21 @@ def shard_engine_tp(engine, mesh: Mesh, axis: str = "model",
     remote-link marshaling; TP serving is a multi-chip, co-located
     regime where it does not apply).
 
+    The sharding is installed as the engine's ``weights_placer``, so it
+    SURVIVES the weight-management APIs: ``load_variables`` /
+    ``cache_weights`` re-place their new tree under the same TP
+    shardings, and ``pack_weights(True)`` refuses (models/api.py).
+
     Returns the engine (mutated in place).  Parity: same labels as the
-    unsharded engine (tests/test_parallel.py::test_tp_engine_predict).
+    unsharded engine (tests/test_parallel.py).
     """
     engine.pack_weights(False)
-    engine.variables = shard_params_tp(engine.variables, mesh, axis,
-                                       min_channels)
+
+    def place(tree):
+        return shard_params_tp(tree, mesh, axis, min_channels)
+
+    engine.weights_placer = place
+    engine.variables = place(engine.variables)
     return engine
 
 

@@ -75,10 +75,14 @@ def main() -> int:
     from bugcar_image_segmentation_tpu.models.api import build_engine
     from bugcar_image_segmentation_tpu.utils.checkpoint import load_variables
 
-    variables = None
+    variables, cfg = None, None
     if args.checkpoint:
-        variables, _ = load_variables(args.checkpoint)
-    engine = build_engine(args.model, variables=variables)
+        # Keep the checkpoint's own ModelConfig: a checkpoint trained at
+        # a non-default resolution must freeze at THAT resolution, not
+        # the model name's default (ENet is fully convolutional, so the
+        # mismatch would export "successfully" and deploy wrong).
+        variables, cfg = load_variables(args.checkpoint)
+    engine = build_engine(args.model, cfg=cfg, variables=variables)
     platforms = args.platforms.split(",") if args.platforms else None
 
     if args.calibration:

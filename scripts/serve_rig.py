@@ -68,10 +68,10 @@ def main() -> int:
                 f"calibrations")
     gw, gh, cell = (float(v) for v in args.grid.split("x"))
 
-    variables = None
+    variables, ckpt_cfg = None, None
     if args.checkpoint:
-        variables, _ = load_variables(args.checkpoint)
-    engine = build_engine(args.model, variables=variables)
+        variables, ckpt_cfg = load_variables(args.checkpoint)
+    engine = build_engine(args.model, cfg=ckpt_cfg, variables=variables)
     cals = [BEVTransform.from_json(c).config for c in args.calibs]
     rig = MultiCameraPipeline(engine, cals, GridConfig(gw, gh, cell),
                               interpolation=args.interpolation)
@@ -81,13 +81,17 @@ def main() -> int:
     def prep(frames):
         """Host-resize each camera frame to model res before the
         transfer (the rig ships n_cam frames per tick — link bytes
-        matter even more than single-camera, PERF.md)."""
-        import cv2
+        matter even more than single-camera, PERF.md).  cv2 is only
+        touched when a frame actually needs resizing, so the synthetic
+        smoke mode (model-res frames) has no cv2 dependency."""
         out = np.empty((n_cam, mh, mw, 3), np.uint8)
         for i, f in enumerate(frames):
-            out[i] = (f if f.shape[:2] == (mh, mw)
-                      else cv2.resize(f, (mw, mh),
-                                      interpolation=cv2.INTER_LINEAR))
+            if f.shape[:2] == (mh, mw):
+                out[i] = f
+            else:
+                import cv2
+                out[i] = cv2.resize(f, (mw, mh),
+                                    interpolation=cv2.INTER_LINEAR)
         return out
 
     publisher = GridPublisher(args.topic)
@@ -120,7 +124,9 @@ def main() -> int:
     log.info("compiled in %.1fs", time.time() - t0)
 
     if args.synthetic is not None:
-        sources = [SyntheticSource((480, 640, 3), num_frames=args.synthetic,
+        # Generate at model resolution: no host resize per tick (which
+        # would pollute the measured ticks/s) and no cv2 dependency.
+        sources = [SyntheticSource((mh, mw, 3), num_frames=args.synthetic,
                                    seed=k) for k in range(n_cam)]
         iters = [iter(s) for s in sources]
         try:

@@ -188,3 +188,15 @@ class TestMulticamExport:
         assert dep.meta["n_cameras"] == 2
         x = frames(rng, 2)
         assert_labels_match(dep(x), rig(x))
+
+    def test_truncated_artifact_rejected(self, engine, tmp_path):
+        path = str(tmp_path / "trunc.bcseg")
+        deploy.export_engine_to(path, engine)
+        data = open(path, "rb").read()
+        p = tmp_path / "cut.bcseg"
+        p.write_bytes(data[:9])             # magic + partial length
+        with pytest.raises(ValueError, match="truncated"):
+            deploy.load_artifact(str(p))
+        p.write_bytes(data[:14])            # header claims more than left
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            deploy.load_artifact(str(p))

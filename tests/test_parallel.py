@@ -229,3 +229,37 @@ class TestTensorParallelServing:
             and getattr(leaf.sharding, "spec", None) is not None
             and any(s is not None for s in leaf.sharding.spec)]
         assert sharded, "no leaf ended up model-sharded"
+
+    def test_tp_sharding_survives_weight_apis(self, rng):
+        """load_variables/cache_weights must re-place under the TP
+        shardings; pack_weights(True) must refuse (the flat buffers
+        would destroy the per-leaf placements)."""
+        import jax
+        import jax.numpy as jnp
+        import pytest
+        from bugcar_image_segmentation_tpu.configs import ModelConfig
+        from bugcar_image_segmentation_tpu.models.api import Engine
+        from bugcar_image_segmentation_tpu.models.enet import ENet
+        from bugcar_image_segmentation_tpu.parallel import (make_mesh,
+                                                            shard_engine_tp)
+
+        def n_sharded(tree):
+            return sum(
+                1 for leaf in jax.tree_util.tree_leaves(tree)
+                if hasattr(leaf, "sharding")
+                and getattr(leaf.sharding, "spec", None) is not None
+                and any(s is not None for s in leaf.sharding.spec))
+
+        cfg = ModelConfig(input_width=64, input_height=32, dtype="float32")
+        eng = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        plain = eng.variables
+        mesh = make_mesh(8, axes=("model",), shape=(8,))
+        shard_engine_tp(eng, mesh, min_channels=8)
+        before = n_sharded(eng.variables)
+        assert before > 0
+        eng.load_variables(plain)            # hot-swap a PLAIN tree
+        assert n_sharded(eng.variables) == before
+        eng.cache_weights(jnp.bfloat16)
+        assert n_sharded(eng.variables) == before
+        with pytest.raises(ValueError, match="placer"):
+            eng.pack_weights(True)

@@ -191,3 +191,27 @@ class TestServeRigCLI:
         assert r.returncode == 0, r.stderr
         assert "4 rig ticks" in r.stderr or "4 rig ticks" in r.stdout, (
             r.stdout + r.stderr)
+
+    def test_export_respects_checkpoint_config(self, tmp_path):
+        # A checkpoint trained at a non-default resolution must freeze
+        # at THAT resolution (the cfg rides in the checkpoint).
+        import jax
+        import jax.numpy as jnp
+        from bugcar_image_segmentation_tpu.configs import ModelConfig
+        from bugcar_image_segmentation_tpu.models.enet import ENet
+        from bugcar_image_segmentation_tpu.utils.checkpoint import (
+            save_variables)
+
+        cfg = ModelConfig(input_width=96, input_height=64, dtype="float32")
+        module = ENet(num_classes=15, dtype=jnp.float32)
+        variables = jax.jit(
+            lambda k, x: module.init(k, x, train=False))(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+        ck = tmp_path / "small.msgpack"
+        save_variables(str(ck), variables, cfg)
+        out = tmp_path / "small.bcseg"
+        r = run([f"{REPO}/scripts/export_model.py", "--model", "enet",
+                 "--checkpoint", str(ck), "--out", str(out)], timeout=900)
+        assert r.returncode == 0, r.stderr
+        meta = json.loads(r.stdout.rsplit("wrote", 1)[0])
+        assert meta["input_hw"] == [64, 96], meta
