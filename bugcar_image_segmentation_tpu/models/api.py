@@ -126,6 +126,19 @@ class Engine:
         # Variables are ARGUMENTS of every jitted program (not trace-time
         # closures), so load_variables() takes effect without recompiling
         # — the weights are already on device, passing the tree is free.
+        self._build_programs()
+
+    def _build_programs(self) -> None:
+        """(Re)create the jitted serving programs.
+
+        ``jax.jit`` caches the TRACE, not the Python callables it closed
+        over — so anything that swaps :attr:`apply_fn` after first use
+        (e.g. :func:`~..parallel.spatial.shard_engine_spatial`, which
+        wraps it with a sharding constraint) must rebuild the programs,
+        or the stale traces would silently keep serving the old
+        executor.  Weight swaps do NOT need this (weights are runtime
+        arguments, never baked into the trace)."""
+
         def serve(impl):
             def run(payload, frames):
                 return impl(self._materialize(payload), frames)

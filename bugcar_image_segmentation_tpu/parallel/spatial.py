@@ -1,0 +1,94 @@
+"""Spatial partitioning: one frame's rows sharded across the mesh.
+
+The reference is strictly single-device (SURVEY.md §2c) and its latency
+floor is one GPU's forward pass.  Data/camera parallelism (mesh.py,
+multicam.py) scales THROUGHPUT but not single-frame LATENCY — for that,
+TPU pods use GSPMD *spatial partitioning*: shard the activation's height
+axis across chips and let XLA insert the halo exchanges every
+overlapping conv window needs at shard boundaries (the original GSPMD
+use case for high-resolution segmentation nets).
+
+Expressed the repo's standard way — shardings only, no hand-written
+collectives: parameters replicate, and one ``with_sharding_constraint``
+pins the backbone input NHWC activation to ``P(None, axis, None, None)``.
+GSPMD propagates the row sharding through every conv/BN/argmax stage and
+materializes ppermute halo exchanges on the ICI at each 3x3/5x5 window.
+Downstream consumers that address rows globally (the BEV warp's packed
+gather, grid.py) trigger an all-gather of the final uint8 label map —
+~128 KB at 512x256, negligible next to the activations that stayed
+sharded.
+
+Scope: the conv backbones (enet / deeplab / xception / unet).  SegFormer
+is excluded — its Pallas attention kernel has no SPMD partitioning rule,
+so GSPMD cannot split it row-wise (use data parallelism or the B0-B3
+single-chip engines instead).
+
+Single-chip hardware note: this module is validated for label parity on
+the 8-device virtual CPU mesh (tests/test_parallel.py) and compiled in
+the driver's multi-chip dry run; real-ICI latency numbers need a real
+multi-chip slice.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_engine_spatial(engine, mesh: Mesh, axis: str = "space"):
+    """Serve an :class:`~..models.api.Engine` spatially partitioned.
+
+    Replicates the weights over ``mesh`` and wraps the engine's
+    ``apply_fn`` so the preprocessed NHWC input is constrained to
+    ``P(None, axis, None, None)`` — rows sharded, batch/width/channels
+    intact.  The engine's serving programs are rebuilt (the executor
+    changed, so the cached traces must not survive —
+    ``Engine._build_programs``); pipelines constructed AFTER this call
+    inherit the constraint inside their fused frame→grid programs.
+
+    Unlike tensor parallelism there is no divisibility requirement on
+    the model — GSPMD pads uneven row shards — but an input height that
+    divides ``mesh.shape[axis]`` keeps every shard's halo traffic
+    uniform, so we insist on it rather than silently serve a lopsided
+    partition.
+
+    Packing is disabled first: flat-buffer packing exists to cut
+    per-argument marshaling on a remote single chip, while spatial
+    serving is a co-located multi-chip regime (same reasoning as
+    :func:`~.tp.shard_engine_tp`).
+
+    Returns the engine (mutated in place).  Parity: identical labels to
+    the unsharded engine for halo-local backbones; DeepLab's ASPP image
+    pooling reduces over the sharded axis, where the reduction-order
+    change can flip float ties (budgeted in tests/test_parallel.py).
+    """
+    size = mesh.shape[axis]
+    if engine.cfg.input_height % size:
+        raise ValueError(
+            f"input height {engine.cfg.input_height} does not divide the "
+            f"'{axis}' mesh axis ({size}); pick a mesh the rows split "
+            f"evenly over")
+
+    engine.pack_weights(False)
+    rep = NamedSharding(mesh, P())
+
+    def place(tree):
+        return jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, rep), tree)
+
+    engine.weights_placer = place
+    engine.variables = place(engine.variables)
+
+    rows = NamedSharding(mesh, P(None, axis, None, None))
+    inner = engine.apply_fn
+
+    def spatial_apply(variables, x, **kwargs):
+        x = jax.lax.with_sharding_constraint(x, rows)
+        return inner(variables, x, **kwargs)
+
+    engine.apply_fn = spatial_apply
+    engine._build_programs()
+    return engine
+
+
+__all__ = ["shard_engine_spatial"]

@@ -263,3 +263,103 @@ class TestTensorParallelServing:
         assert n_sharded(eng.variables) == before
         with pytest.raises(ValueError, match="placer"):
             eng.pack_weights(True)
+
+
+class TestSpatialServing:
+    """parallel.spatial.shard_engine_spatial — rows of ONE frame across
+    the mesh (GSPMD spatial partitioning; SURVEY.md §2c has no such axis
+    in the reference)."""
+
+    def test_spatial_enet_predict_matches_unsharded(self, rng):
+        """Halo-local backbone: labels must be IDENTICAL — halo exchange
+        reconstructs exactly the rows each conv window needs, so no
+        floating-point order changes anywhere."""
+        import jax.numpy as jnp
+        from bugcar_image_segmentation_tpu.configs import ModelConfig
+        from bugcar_image_segmentation_tpu.models.api import Engine
+        from bugcar_image_segmentation_tpu.models.enet import ENet
+        from bugcar_image_segmentation_tpu.parallel import (
+            make_mesh, shard_engine_spatial)
+
+        cfg = ModelConfig(input_width=64, input_height=32, dtype="float32")
+        eng = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        x = rng.integers(0, 255, (2, 32, 64, 3), dtype=np.uint8)
+        want = np.asarray(eng.predict(x))
+        single = np.asarray(eng.predict(x[0]))
+
+        mesh = make_mesh(4, axes=("space",))
+        shard_engine_spatial(eng, mesh)
+        got = np.asarray(eng.predict(x))
+        np.testing.assert_array_equal(got, want)
+        # unbatched path rebuilt too (stale traces would skip the mesh)
+        np.testing.assert_array_equal(np.asarray(eng.predict(x[0])), single)
+
+    def test_spatial_rejects_indivisible_rows(self):
+        import jax.numpy as jnp
+        import pytest
+        from bugcar_image_segmentation_tpu.configs import ModelConfig
+        from bugcar_image_segmentation_tpu.models.api import Engine
+        from bugcar_image_segmentation_tpu.models.enet import ENet
+        from bugcar_image_segmentation_tpu.parallel import (
+            make_mesh, shard_engine_spatial)
+
+        # ENet heights are multiples of 8, so use a 3-device mesh to
+        # make the rows genuinely indivisible.
+        cfg = ModelConfig(input_width=64, input_height=32, dtype="float32")
+        eng = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        with pytest.raises(ValueError, match="divide"):
+            shard_engine_spatial(eng, make_mesh(3, axes=("space",)))
+
+    def test_spatial_weights_replicated_and_durable(self, rng):
+        """Weights must be placed replicated over the mesh, and the
+        placement must survive load_variables (the placer contract the
+        TP path established)."""
+        import jax
+        import jax.numpy as jnp
+        from bugcar_image_segmentation_tpu.configs import ModelConfig
+        from bugcar_image_segmentation_tpu.models.api import Engine
+        from bugcar_image_segmentation_tpu.models.enet import ENet
+        from bugcar_image_segmentation_tpu.parallel import (
+            make_mesh, shard_engine_spatial)
+
+        cfg = ModelConfig(input_width=64, input_height=32, dtype="float32")
+        eng = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        plain = eng.variables
+        mesh = make_mesh(4, axes=("space",))
+        shard_engine_spatial(eng, mesh)
+
+        def all_mesh_replicated(tree):
+            leaves = jax.tree_util.tree_leaves(tree)
+            return all(
+                len(leaf.sharding.device_set) == 4
+                and not any(s is not None for s in leaf.sharding.spec)
+                for leaf in leaves if hasattr(leaf, "sharding"))
+
+        assert all_mesh_replicated(eng.variables)
+        eng.load_variables(plain)
+        assert all_mesh_replicated(eng.variables)
+
+    def test_spatial_pipeline_grid_matches_unsharded(self, rng):
+        """The fused frame→grid program built over a spatial engine must
+        reproduce the single-device grid (the warp's packed gather
+        all-gathers the sharded label map; everything upstream stays
+        row-sharded)."""
+        import jax.numpy as jnp
+        from bugcar_image_segmentation_tpu.configs import ModelConfig
+        from bugcar_image_segmentation_tpu.models.api import Engine
+        from bugcar_image_segmentation_tpu.models.enet import ENet
+        from bugcar_image_segmentation_tpu.parallel import (
+            make_mesh, shard_engine_spatial)
+        from bugcar_image_segmentation_tpu.pipeline import Pipeline
+
+        cfg = ModelConfig(input_width=64, input_height=32, dtype="float32")
+        cal = make_cal()
+        frame = rng.integers(0, 255, (32, 64, 3), dtype=np.uint8)
+
+        eng = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        want = np.asarray(Pipeline(eng, cal, GRID)(frame))
+
+        eng2 = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        shard_engine_spatial(eng2, make_mesh(4, axes=("space",)))
+        got = np.asarray(Pipeline(eng2, cal, GRID)(frame))
+        np.testing.assert_array_equal(got, want)
