@@ -14,12 +14,12 @@ annotations, XLA inserting the ICI collectives:
 from .mesh import (Mesh, NamedSharding, P, data_sharding, make_mesh,
                    replicate, replicated, shard_batch)
 from .multicam import ShardedMultiCameraPipeline
-from .spatial import shard_engine_spatial
+from .spatial import shard_batch_spatial, shard_engine_spatial
 from .tp import shard_engine_tp, shard_params_tp, tp_spec_for
 
 __all__ = [
     "Mesh", "NamedSharding", "P", "data_sharding", "make_mesh",
     "replicate", "replicated", "shard_batch", "ShardedMultiCameraPipeline",
-    "shard_engine_spatial", "shard_engine_tp", "shard_params_tp",
-    "tp_spec_for",
+    "shard_batch_spatial", "shard_engine_spatial", "shard_engine_tp",
+    "shard_params_tp", "tp_spec_for",
 ]

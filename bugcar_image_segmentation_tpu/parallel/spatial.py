@@ -32,6 +32,7 @@ multi-chip slice.
 from __future__ import annotations
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -91,4 +92,37 @@ def shard_engine_spatial(engine, mesh: Mesh, axis: str = "space"):
     return engine
 
 
-__all__ = ["shard_engine_spatial"]
+def shard_batch_spatial(batch, mesh: Mesh, axis: str = "space",
+                        data_axis: str = "data"):
+    """Place a training batch with ROWS sharded for spatial training.
+
+    Every leaf of ``batch`` (images ``(N, H, W, C)``, labels
+    ``(N, H, W)``) gets its height axis 1 sharded over ``axis`` — and,
+    when the mesh also has ``data_axis``, its batch axis 0 over that —
+    so the train step (training/trainer.py, jit/pjit-agnostic by
+    design) runs with activations split row-wise: per-chip activation
+    HBM scales as 1/shards, which is what lets a resolution that spills
+    on one chip train on a slice.  GSPMD derives the conv halo
+    exchanges for BOTH the forward and the backward (grad-of-conv is a
+    conv), and the parameter gradients pick up a reduce over the space
+    axis because every row shard contributes to every (replicated)
+    kernel.  No trainer changes, no hand-written collectives — the same
+    recipe as data parallelism, one axis deeper.
+    """
+    has_data = data_axis in mesh.axis_names
+
+    def place(x):
+        if np.ndim(x) < 2:
+            raise ValueError(
+                f"spatial batch leaves need a (N, H, ...) rank-2+ shape, "
+                f"got {np.shape(x)}")
+        spec = [None] * np.ndim(x)
+        if has_data:
+            spec[0] = data_axis
+        spec[1] = axis
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+__all__ = ["shard_engine_spatial", "shard_batch_spatial"]

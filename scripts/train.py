@@ -4,7 +4,9 @@
 The missing direction in the reference (it ships only frozen graphs; its
 one train→deploy tool is ``freeze_session``, reference utils.py:49-83).
 Data parallelism across chips comes from mesh shardings alone — pass
---devices N on a multi-chip host.
+--devices N on a multi-chip host; add --spatial K to also shard each
+image's rows over K chips (per-chip activation memory 1/K, for
+resolutions that spill on a single chip).
 
   python scripts/train.py --model enet --images data/imgs --labels data/lbls \\
       --steps 1000 --batch 16 --lr 3e-4 --out ckpt.msgpack
@@ -43,6 +45,12 @@ def main() -> int:
                         "(training/augment.py)")
     p.add_argument("--devices", type=int, default=None,
                    help="mesh size for data parallelism (default: all)")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard each image's ROWS over this many chips "
+                        "(spatial partitioning, parallel/spatial.py): "
+                        "per-chip activation memory scales as 1/N, for "
+                        "resolutions that spill on one chip; the mesh "
+                        "becomes (devices/N) data x N space")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--out", required=True, help="msgpack checkpoint path")
     p.add_argument("--resume", help="msgpack checkpoint to start from")
@@ -92,7 +100,21 @@ def main() -> int:
             labels = np.stack([p[1] for p in pairs]).astype(np.int32)
             yield frames, labels
 
-    mesh = make_mesh(args.devices)
+    n_dev = args.devices if args.devices else len(jax.devices())
+    if args.spatial > 1:
+        if n_dev % args.spatial:
+            p.error(f"--spatial {args.spatial} does not divide the "
+                    f"{n_dev}-device mesh")
+        if args.height % args.spatial:
+            p.error(f"--spatial {args.spatial} does not divide the image "
+                    f"height {args.height}")
+        from bugcar_image_segmentation_tpu.parallel import shard_batch_spatial
+        mesh = make_mesh(n_dev, axes=("data", "space"),
+                         shape=(n_dev // args.spatial, args.spatial))
+        place_batch = lambda b: shard_batch_spatial(b, mesh)  # noqa: E731
+    else:
+        mesh = make_mesh(args.devices)
+        place_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
     log.info("mesh: %s over %d devices", dict(mesh.shape),
              mesh.devices.size)
 
@@ -152,7 +174,7 @@ def main() -> int:
         images, labels = preprocess(jnp.asarray(frames),
                                     jnp.asarray(labels),
                                     jax.random.fold_in(aug_key, step))
-        images, labels = shard_batch((images, labels), mesh)
+        images, labels = place_batch((images, labels))
         state, loss = train_step(state, images, labels,
                                  jax.random.fold_in(step_key, step))
         if step % args.log_every == 0:

@@ -363,3 +363,67 @@ class TestSpatialServing:
         shard_engine_spatial(eng2, make_mesh(4, axes=("space",)))
         got = np.asarray(Pipeline(eng2, cal, GRID)(frame))
         np.testing.assert_array_equal(got, want)
+
+
+class TestSpatialTraining:
+    def test_dp_sp_train_step_matches_unsharded(self, rng):
+        """One dp x SPATIAL train step == the unsharded step (loss AND
+        params): rows sharded over "space", batch over "data", params
+        replicated — GSPMD derives the forward AND backward conv halo
+        exchanges plus the space-axis gradient reduce.  ENet on purpose:
+        its max-unpool scatter is the hardest op to partition."""
+        import optax
+        from bugcar_image_segmentation_tpu.parallel import replicate
+        from bugcar_image_segmentation_tpu.parallel.spatial import (
+            shard_batch_spatial)
+        from bugcar_image_segmentation_tpu.training import (
+            create_train_state, make_train_step)
+
+        h, w, batch = 32, 64, 4
+        images = rng.normal(size=(batch, h, w, 3)).astype(np.float32)
+        labels = rng.integers(0, 15, size=(batch, h, w)).astype(np.int32)
+        model = ENet(num_classes=15, dtype=jnp.float32)
+        step = jax.jit(make_train_step(model))
+        key = jax.random.PRNGKey(7)
+        sgd = optax.sgd(1e-2)  # see the dp x tp test for why not Adam
+
+        state0 = create_train_state(model, (1, h, w, 3), seed=3,
+                                    optimizer=sgd)
+        ref_state, ref_loss = step(state0, jnp.asarray(images),
+                                   jnp.asarray(labels), key)
+
+        mesh = make_mesh(8, axes=("data", "space"), shape=(2, 4))
+        state1 = create_train_state(model, (1, h, w, 3), seed=3,
+                                    optimizer=sgd)
+        state1 = replicate(state1, mesh)
+        simages, slabels = shard_batch_spatial(
+            (jnp.asarray(images), jnp.asarray(labels)), mesh)
+        assert "space" in str(simages.sharding.spec)
+        skey = jax.device_put(key, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        sp_state, sp_loss = step(state1, simages, slabels, skey)
+
+        np.testing.assert_allclose(float(sp_loss), float(ref_loss),
+                                   rtol=1e-5)
+        ref_params = jax.tree_util.tree_leaves_with_path(ref_state.params)
+        sp_params = dict(jax.tree_util.tree_leaves_with_path(sp_state.params))
+        assert len(ref_params) == len(sp_params)
+        for path, leaf in ref_params:
+            np.testing.assert_allclose(
+                np.asarray(sp_params[path]), np.asarray(leaf),
+                rtol=1e-4, atol=5e-6,
+                err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+        # batch-norm stats come from row-sharded activations too
+        ref_bs = jax.tree_util.tree_leaves(ref_state.batch_stats)
+        sp_bs = jax.tree_util.tree_leaves(sp_state.batch_stats)
+        for a, b in zip(ref_bs, sp_bs):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=5e-6)
+
+    def test_shard_batch_spatial_rejects_scalars(self):
+        import pytest
+        from bugcar_image_segmentation_tpu.parallel.spatial import (
+            shard_batch_spatial)
+        mesh = make_mesh(8, axes=("data", "space"), shape=(2, 4))
+        with pytest.raises(ValueError, match="rank-2"):
+            shard_batch_spatial(jnp.zeros((8,)), mesh)
