@@ -86,7 +86,11 @@ def main() -> None:
     n_frames = 100
     tb = 4
     host_frames = list(SyntheticSource((480, 640, 3), num_frames=n_frames))
-    list(Pipeline.stream(pipe, iter(host_frames[:4 * tb]), depth=16,
+    # Full-length untimed warm pass: a short ramp leaves the first timed
+    # trial with a cold link (measured: warm pass of 16 frames -> first
+    # trial 77 fps vs 245+ after), which only distorts the reported
+    # worst-trial figure.
+    list(Pipeline.stream(pipe, iter(host_frames), depth=16,
                          transfer_batch=tb))  # compile + link ramp
     trials = []
     for _ in range(9):

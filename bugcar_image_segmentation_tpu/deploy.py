@@ -37,6 +37,18 @@ Artifacts are written in a small container format (magic + JSON header
 class semantics survive next to the program; ``load_artifact`` returns
 a callable wrapper exposing them.
 
+**Multi-chip artifacts**: exporting a spatially partitioned engine
+(parallel/spatial.py) bakes its sharding constraints into the StableHLO
+— the artifact records ``nr_devices`` in the header, refuses to run in
+a wrong-sized device context, and executes with the same XLA-inserted
+halo exchanges as live serving via :meth:`Deployed.call_sharded` on an
+equal-sized mesh (bit-parity with the unsharded program,
+tests/test_deploy.py).  Tensor-parallel engines are the opposite case
+by design: TP lives in runtime weight PLACEMENTS (parallel/tp.py), and
+an export snapshots weights as host constants — so a TP engine exports
+as an ordinary single-device artifact; re-shard at load time if TP
+serving of a frozen program is wanted.
+
 Packed serving weights (models/packing.py) are irrelevant inside an
 artifact — packing exists to cut per-dispatch *argument* marshaling,
 and a frozen program has no weight arguments — so export always bakes
@@ -176,6 +188,10 @@ def save_artifact(path: str,
     header["in_avals"] = [str(a) for a in exported.in_avals]
     header["out_avals"] = [str(a) for a in exported.out_avals]
     header["platforms"] = list(exported.platforms)
+    # Multi-chip programs (e.g. a spatially partitioned engine,
+    # parallel/spatial.py) record their device count so a loader can
+    # check slice size before deserializing anything.
+    header["nr_devices"] = int(exported.nr_devices)
     blob = exported.serialize()
     hdr = json.dumps(header).encode("utf-8")
     with open(path, "wb") as f:
@@ -203,6 +219,31 @@ class Deployed:
                 and len(self.exported.in_avals[0].shape) == 4:
             return self.exported.call(frames[None])[0]
         return self.exported.call(frames)
+
+    @property
+    def nr_devices(self) -> int:
+        """Device count the program was exported for (1 = single chip)."""
+        return int(self.exported.nr_devices)
+
+    def call_sharded(self, mesh, *args):
+        """Run a multi-device artifact on ``mesh``.
+
+        An artifact exported from a spatially partitioned engine
+        (parallel/spatial.py) embeds its sharding constraints and
+        refuses to run in a single-device context; this replicates the
+        host args over the mesh (the program's internal constraints
+        re-shard from there — same as live serving) and jits the call.
+        The mesh must have exactly :attr:`nr_devices` devices; its axis
+        names don't matter, only the device set.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+        if mesh.devices.size != self.nr_devices:
+            raise ValueError(
+                f"artifact was exported for {self.nr_devices} devices, "
+                f"mesh has {mesh.devices.size}")
+        rep = NamedSharding(mesh, PartitionSpec())
+        placed = [jax.device_put(jnp.asarray(a), rep) for a in args]
+        return jax.jit(self.exported.call)(*placed)
 
 
 def load_artifact(path: str) -> Deployed:

@@ -48,6 +48,12 @@ def main() -> int:
     p.add_argument("--grid-size", type=float, nargs=2, default=(20.0, 20.0),
                    metavar=("W_M", "H_M"))
     p.add_argument("--cell", type=float, default=0.1)
+    p.add_argument("--spatial", type=int, default=1,
+                   help="export a SPATIALLY PARTITIONED program for this "
+                        "many chips: one frame's rows sharded, halo "
+                        "exchanges baked into the StableHLO "
+                        "(parallel/spatial.py); run it on an equal-sized "
+                        "mesh via Deployed.call_sharded")
     p.add_argument("--load", help="inspect an existing artifact and exit")
     p.add_argument("--smoke", action="store_true",
                    help="with --load: run one zero frame through it")
@@ -63,7 +69,11 @@ def main() -> int:
             shapes = [a.shape for a in dep.exported.in_avals]
             xs = [np.zeros([d if isinstance(d, int) else 1 for d in s],
                            np.uint8) for s in shapes]
-            out = dep(*xs)
+            if dep.nr_devices > 1:
+                from bugcar_image_segmentation_tpu.parallel import make_mesh
+                out = dep.call_sharded(make_mesh(dep.nr_devices), *xs)
+            else:
+                out = dep(*xs)
             out = out if isinstance(out, tuple) else (out,)
             print("smoke outputs:",
                   [(tuple(o.shape), str(o.dtype)) for o in out])
@@ -83,6 +93,11 @@ def main() -> int:
         # mismatch would export "successfully" and deploy wrong).
         variables, cfg = load_variables(args.checkpoint)
     engine = build_engine(args.model, cfg=cfg, variables=variables)
+    if args.spatial > 1:
+        from bugcar_image_segmentation_tpu.parallel import (
+            make_mesh, shard_engine_spatial)
+        shard_engine_spatial(
+            engine, make_mesh(args.spatial, axes=("space",)))
     platforms = args.platforms.split(",") if args.platforms else None
 
     if args.calibration:

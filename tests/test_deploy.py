@@ -200,3 +200,52 @@ class TestMulticamExport:
         p.write_bytes(data[:14])            # header claims more than left
         with pytest.raises(ValueError, match="truncated or corrupt"):
             deploy.load_artifact(str(p))
+
+
+class TestMultiChipExport:
+    """Artifacts from spatially partitioned engines (parallel/spatial.py):
+    the sharding constraints travel inside the StableHLO."""
+
+    def test_spatial_artifact_roundtrip_on_mesh(self, rng, tmp_path):
+        from bugcar_image_segmentation_tpu.parallel import (
+            make_mesh, shard_engine_spatial)
+
+        cfg = ModelConfig(input_width=64, input_height=32, dtype="float32")
+        eng = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        x = frames(rng, 2)
+        want = np.asarray(eng.predict(x))
+
+        shard_engine_spatial(eng, make_mesh(4, axes=("space",)))
+        path = str(tmp_path / "enet_sp.bcsg")
+        deploy.export_engine_to(path, eng, batch=2)
+
+        dep = deploy.load_artifact(path)
+        assert dep.meta["nr_devices"] == 4
+        assert dep.nr_devices == 4
+        mesh = make_mesh(4, axes=("any",))  # axis NAMES don't matter
+        got = np.asarray(dep.call_sharded(mesh, x))
+        assert_labels_match(got, want)
+
+    def test_spatial_artifact_refuses_wrong_context(self, rng, tmp_path):
+        from bugcar_image_segmentation_tpu.parallel import (
+            make_mesh, shard_engine_spatial)
+
+        cfg = ModelConfig(input_width=64, input_height=32, dtype="float32")
+        eng = Engine(ENet(num_classes=15, dtype=jnp.float32), cfg)
+        shard_engine_spatial(eng, make_mesh(4, axes=("space",)))
+        path = str(tmp_path / "enet_sp.bcsg")
+        deploy.export_engine_to(path, eng, batch=1)
+        dep = deploy.load_artifact(path)
+
+        with pytest.raises(ValueError, match="4 devices"):
+            dep.call_sharded(make_mesh(2, axes=("space",)),
+                             frames(rng, 1))
+        with pytest.raises(ValueError, match="devices"):
+            dep(jnp.asarray(frames(rng, 1)))  # single-device context
+
+    def test_single_chip_artifact_records_one_device(self, engine, rng,
+                                                     tmp_path):
+        path = str(tmp_path / "enet.bcsg")
+        deploy.export_engine_to(path, engine, batch=1)
+        dep = deploy.load_artifact(path)
+        assert dep.meta["nr_devices"] == 1 and dep.nr_devices == 1
