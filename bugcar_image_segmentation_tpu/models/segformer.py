@@ -128,6 +128,13 @@ class EfficientAttention(nn.Module):
     sr_ratio: int = 1
     dtype: Any = jnp.bfloat16
     quant: bool = False
+    # Run inference attention through the plain XLA einsum path instead
+    # of the Pallas kernel.  pallas_call has no SPMD partitioning rule,
+    # so GSPMD cannot split it — under a spatial mesh
+    # (parallel/spatial.py) the XLA path lets the row sharding flow
+    # through: scores stay sharded on the Q-token axis and K/V (small,
+    # SR-reduced to <=4k tokens) are all-gathered per shard.
+    xla_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, hw: Tuple[int, int],
@@ -193,11 +200,12 @@ class EfficientAttention(nn.Module):
             return t.reshape(n, t.shape[1], self.num_heads,
                              head_dim).transpose(0, 2, 1, 3)
 
-        if train:
+        if train or self.xla_attention:
             # pallas_call has no JVP rule — the training path uses the
             # naive XLA attention (differentiable; the O(L·Lkv) score
             # tensor is affordable because the SR conv keeps Lkv small).
-            # Inference keeps the Pallas kernel.
+            # Inference keeps the Pallas kernel, except under
+            # ``xla_attention`` (spatial partitioning, see field note).
             out = attention_reference(split(q), split(k), split(v))
         else:
             out = flash_attention(split(q), split(k), split(v))
@@ -253,6 +261,7 @@ class Block(nn.Module):
     dtype: Any = jnp.bfloat16
     quant: bool = False
     exact_gelu: bool = False
+    xla_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, hw: Tuple[int, int],
@@ -269,6 +278,7 @@ class Block(nn.Module):
                                     name=name)(t).astype(self.dtype)
         x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
                                    dtype=self.dtype, quant=self.quant,
+                                   xla_attention=self.xla_attention,
                                    name="attn")(ln(x, "norm1"), hw,
                                                 chw_n=chw_n, train=train)
         x = x + MixFFN(self.dim, dtype=self.dtype, quant=self.quant,
@@ -346,6 +356,15 @@ class SegFormer(nn.Module):
     # under "same" padding the embed receptive fields are shifted one
     # pixel and real weights lose accuracy silently.
     torch_compat: bool = False
+    # SPMD-partitionable inference: force the stock NHWC layout (no CHW
+    # stages/head) and the XLA attention path so GSPMD can row-shard the
+    # whole forward under a spatial mesh — pallas_call and the
+    # transposed (C, pixels) layout both block sharding propagation.
+    # Same parameter tree as the default configuration (the CHW/stock
+    # paths are layout twins); parallel.spatial.shard_engine_spatial
+    # clones the module with this flag, single-chip serving keeps the
+    # Pallas kernel.
+    xla_attention: bool = False
 
     @classmethod
     def preset(cls, size: str, **overrides) -> "SegFormer":
@@ -368,7 +387,8 @@ class SegFormer(nn.Module):
         x = x.astype(dt)
         n, h0, w0, _ = x.shape
 
-        full_chw = (not train) and self.chw_stages >= 4 and self.chw_head
+        chw_ok = not (train or self.xla_attention)
+        full_chw = chw_ok and self.chw_stages >= 4 and self.chw_head
         epad = "torch" if self.torch_compat else "same"
         egelu = self.torch_compat
 
@@ -379,7 +399,7 @@ class SegFormer(nn.Module):
             k, stride = (7, 4) if s == 0 else (3, 2)
             h, w = h // stride, w // stride
             c = self.widths[s]
-            chw = (not train) and s < self.chw_stages
+            chw = chw_ok and s < self.chw_stages
             if chw:
                 if full_chw and s > 0:
                     # previous stage left xt transposed: CHW-in embed
@@ -414,6 +434,7 @@ class SegFormer(nn.Module):
                     x = Block(c, self.num_heads[s], self.sr_ratios[s],
                               dtype=dt, quant=self.quant,
                               exact_gelu=egelu,
+                              xla_attention=self.xla_attention,
                               name=f"stage{s}_block{b}")(x, (h, w),
                                                          train=train)
                 x = nn.LayerNorm(dtype=jnp.float32,

@@ -18,10 +18,16 @@ gather, grid.py) trigger an all-gather of the final uint8 label map —
 ~128 KB at 512x256, negligible next to the activations that stayed
 sharded.
 
-Scope: the conv backbones (enet / deeplab / xception / unet).  SegFormer
-is excluded — its Pallas attention kernel has no SPMD partitioning rule,
-so GSPMD cannot split it row-wise (use data parallelism or the B0-B3
-single-chip engines instead).
+Scope: every backbone in the zoo.  The conv nets (enet / deeplab /
+xception / unet) partition as-is.  SegFormer needs a layout switch
+first: its single-chip serving path runs the Pallas attention kernel in
+the transposed (C, pixels) orientation, and pallas_call has no SPMD
+partitioning rule, so GSPMD cannot split it — under a spatial mesh the
+engine is rebuilt with ``SegFormer(xla_attention=True)`` (stock NHWC
+layout + the XLA einsum attention; same parameter tree), where the row
+sharding propagates end to end: Q stays token-sharded, the SR-reduced
+K/V (<=4k tokens) all-gather per shard, and the conv/resize stages get
+halo exchanges like the conv nets.
 
 Single-chip hardware note: this module is validated for label parity on
 the 8-device virtual CPU mesh (tests/test_parallel.py) and compiled in
@@ -82,6 +88,14 @@ def shard_engine_spatial(engine, mesh: Mesh, axis: str = "space"):
 
     rows = NamedSharding(mesh, P(None, axis, None, None))
     inner = engine.apply_fn
+
+    # SegFormer: swap in the SPMD-partitionable layout twin (stock NHWC
+    # + XLA attention — see the module docstring).  clone() keeps every
+    # other field (preset widths/depths, quant, head_upsample), and the
+    # parameter tree is identical, so engine.variables serve unchanged.
+    from ..models.segformer import SegFormer
+    if isinstance(engine.module, SegFormer):
+        inner = engine.module.clone(xla_attention=True).apply
 
     def spatial_apply(variables, x, **kwargs):
         x = jax.lax.with_sharding_constraint(x, rows)
