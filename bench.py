@@ -86,19 +86,63 @@ def main() -> None:
     n_frames = 100
     tb = 4
     host_frames = list(SyntheticSource((480, 640, 3), num_frames=n_frames))
-    # Full-length untimed warm pass: a short ramp leaves the first timed
-    # trial with a cold link (measured: warm pass of 16 frames -> first
-    # trial 77 fps vs 245+ after), which only distorts the reported
-    # worst-trial figure.
-    list(Pipeline.stream(pipe, iter(host_frames), depth=16,
-                         transfer_batch=tb))  # compile + link ramp
-    trials = []
-    for _ in range(9):
+    # Steady-state detection (round-3 lesson: a fixed-length warm pass
+    # failed to absorb the link ramp in the driver's session — its first
+    # timed trial read 59.5 fps on a run whose median was 267.8).  Run
+    # untimed full-length passes until TWO consecutive passes exceed the
+    # steady threshold, under a bounded budget; if the link never
+    # stabilizes, label the run as weather in the metric string rather
+    # than let a ramp artifact masquerade as the sustained worst case.
+    steady_fps = 100.0
+    warm_budget_s = 150.0
+    warm_deadline = time.monotonic() + warm_budget_s
+    warm_rates = []
+    stable = False
+    while time.monotonic() < warm_deadline and len(warm_rates) < 12:
         t0 = time.perf_counter()
         count = sum(1 for _ in Pipeline.stream(
             pipe, iter(host_frames), depth=16, sync_chunk=16,
             transfer_batch=tb))
-        trials.append(count / (time.perf_counter() - t0))
+        warm_rates.append(count / (time.perf_counter() - t0))
+        if (len(warm_rates) >= 2 and warm_rates[-1] >= steady_fps
+                and warm_rates[-2] >= steady_fps):
+            stable = True
+            break
+    print(f"[bench] warm passes {[round(r, 1) for r in warm_rates]} fps "
+          f"({'steady' if stable else 'NEVER STABILIZED'} "
+          f"at threshold {steady_fps:.0f})", file=sys.stderr)
+    # Timed trials, with labeled weather retries: the tunnel's bandwidth
+    # can collapse MID-RUN (measured: a steady 240-fps session dipping
+    # to 89 for two trials while the link probe read low) — that
+    # measures the shared link, not the pipeline.  A sub-threshold
+    # trial triggers a link probe; if bandwidth fell below half the
+    # session's best, the trial is discarded as weather and re-run
+    # (bounded), and the retry count is reported in the metric string —
+    # labeled, never silent.  A slow trial on a HEALTHY link is kept:
+    # that would be a real regression.
+    trials = []
+    weather_retries = 0
+    max_weather_retries = 6
+    best_link = link_before
+    while len(trials) < 9:
+        t0 = time.perf_counter()
+        count = sum(1 for _ in Pipeline.stream(
+            pipe, iter(host_frames), depth=16, sync_chunk=16,
+            transfer_batch=tb))
+        trial_fps = count / (time.perf_counter() - t0)
+        if (trial_fps < steady_fps
+                and weather_retries < max_weather_retries):
+            mbps = probe_link_mbps(2)
+            best_link = max(best_link, mbps)
+            if mbps < 0.5 * best_link:
+                weather_retries += 1
+                print(f"[bench] trial {trial_fps:.1f} fps discarded: "
+                      f"link probe {mbps:.1f} MB/s vs session best "
+                      f"{best_link:.1f} (weather retry "
+                      f"{weather_retries}/{max_weather_retries})",
+                      file=sys.stderr)
+                continue
+        trials.append(trial_fps)
     fps = float(np.median(trials))
     best_fps = max(trials)
     worst_fps = min(trials)
@@ -168,12 +212,20 @@ def main() -> None:
           f"p50 latency {p50_ms:.2f} ms; device-side {dev_fps:.0f} fps "
           f"(batch-{tb}: {dev_fps_b:.0f} fps)",
           file=sys.stderr)
+    weather = ("" if stable else
+               f"; WEATHER: link never stabilized above {steady_fps:.0f} "
+               f"fps in {warm_budget_s:.0f}s of warm passes — trials "
+               f"reflect tunnel bandwidth, not the pipeline")
+    if weather_retries:
+        weather += (f"; {weather_retries} trial(s) weather-retried on a "
+                    f"probed link collapse")
     print(json.dumps({
         "metric": "frames/sec/chip sustained (median of 9), 640x480 "
                   "camera->occupancy-grid (ENet 512x256 fused pipeline, "
                   "i420 transport, batched streaming; link "
                   f"{min(link_before, link_after):.0f}-"
-                  f"{max(link_before, link_after):.0f} MB/s this session)",
+                  f"{max(link_before, link_after):.0f} MB/s this session"
+                  f"{weather})",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
