@@ -36,7 +36,10 @@ def main() -> None:
     from __graft_entry__ import _toy_calibration
 
     cfg = ModelConfig()  # ENet 512x256, bf16 on TPU
-    engine = build_engine("enet", cfg)
+    # "_w16": serve from the bf16 weight cache — measured x1.20 on the
+    # bare forward (PERF.md round 4c); same label class (0.06% tie
+    # flips on chip, budgeted by the TPU tier).
+    engine = build_engine("enet_w16", cfg)
     cal = _toy_calibration((cfg.input_height, cfg.input_width))
     # host_resize: shrink the frame before the host->device link (the
     # reference resizes host-side too, models.py:87) — on the tunneled
@@ -221,8 +224,8 @@ def main() -> None:
                     f"probed link collapse")
     print(json.dumps({
         "metric": "frames/sec/chip sustained (median of 9), 640x480 "
-                  "camera->occupancy-grid (ENet 512x256 fused pipeline, "
-                  "i420 transport, batched streaming; link "
+                  "camera->occupancy-grid (ENet 512x256 w16 fused "
+                  "pipeline, i420 transport, batched streaming; link "
                   f"{min(link_before, link_after):.0f}-"
                   f"{max(link_before, link_after):.0f} MB/s this session"
                   f"{weather})",

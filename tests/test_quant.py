@@ -172,3 +172,33 @@ class TestChwDenseInt8:
         got = ChwDense(32, dtype=jnp.float32, quant=True).apply(v, x.T)
         np.testing.assert_allclose(np.asarray(got.T), ref,
                                    rtol=0.02, atol=0.02)
+
+
+class TestXceptionInt8:
+    """`xception_int8`: int8-MXU pointwise 1x1s (models/xception.py
+    Int8Conv1x1).  Measured a NO at 1024x512 on the v5e (PERF.md round
+    4b: dynamic-quantize passes outweigh the MXU saving at 2048
+    tokens) — kept as the documented negative; these tests pin the
+    tree compatibility and numerics claims either way."""
+
+    def test_same_tree_and_close_labels(self):
+        from bugcar_image_segmentation_tpu.configs import ModelConfig
+
+        cfg = ModelConfig(name="xception", input_width=64, input_height=32,
+                          num_classes=15, dtype="float32")
+        e = build_engine("xception", cfg)
+        ei = build_engine("xception_int8", cfg, variables=e.variables)
+        assert (jax.tree_util.tree_structure(e.variables)
+                == jax.tree_util.tree_structure(ei.variables))
+        x = np.random.default_rng(0).integers(0, 255, (1, 32, 64, 3),
+                                              dtype=np.uint8)
+        lf = np.asarray(e.logits(x))
+        li = np.asarray(ei.logits(x))
+        rel = np.abs(lf - li).max() / (np.abs(lf).max() + 1e-9)
+        assert rel < 0.02, f"int8 pointwise drifted {rel:.3%} relative"
+        flips = (np.asarray(e.predict(x)) != np.asarray(ei.predict(x))).mean()
+        assert flips <= 0.01
+
+    def test_grammar(self):
+        with pytest.raises(ValueError, match="grammar"):
+            build_engine("xception_int4")
