@@ -34,6 +34,13 @@ def main() -> int:
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--out", default="auto",
                    help="msgpack path; 'auto' = checkpoints/<model>_synthetic.msgpack")
+    p.add_argument("--save-dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="checkpoint float dtype; bfloat16 halves the "
+                        "artifact (used for the 160 MB Xception twin so "
+                        "a reproducible checkpoint fits the repo — "
+                        "serving-grade, not an optimizer-resume master; "
+                        "see Engine.cache_weights numerics notes)")
     p.add_argument("--log-every", type=int, default=50)
     args = p.parse_args()
 
@@ -99,6 +106,9 @@ def main() -> int:
 
     variables = {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)}
+    if args.save_dtype == "bfloat16":
+        from bugcar_image_segmentation_tpu.models.api import _cast_float_tree
+        variables = _cast_float_tree(variables, jnp.bfloat16)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     save_variables(args.out, variables, cfg)
     log.info("saved %s", args.out)
