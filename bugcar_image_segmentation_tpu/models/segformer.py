@@ -365,6 +365,19 @@ class SegFormer(nn.Module):
     # clones the module with this flag, single-chip serving keeps the
     # Pallas kernel.
     xla_attention: bool = False
+    # CHW-head part-sum strategy.  False (textbook): every stage's
+    # projected part is upsampled straight to 1/4 res and the four
+    # full-res (dd, 65536-token) parts are summed — at B2/B3's dd=768
+    # that is 4 x 100 MB of bf16 HBM writes plus the 400 MB re-read by
+    # the sum.  True: sum CASCADED from the smallest stage up
+    # (acc = up2(acc) + part_s), touching each resolution once —
+    # ~160 MB total, a pure bandwidth win.  Numerics: up2∘up2 is not
+    # bit-equal to up4 for pixel-center bilinear (values interpolated
+    # ACROSS an original knot get smoothed by one extra lerp), so this
+    # is a budgeted variant, not a parity twin — engine suffix "_hc",
+    # label flips budgeted in tests/test_models.py; OFF for
+    # torch-compat pours (official numerics).
+    head_cascade: bool = False
 
     @classmethod
     def preset(cls, size: str, **overrides) -> "SegFormer":
@@ -470,17 +483,33 @@ class SegFormer(nn.Module):
             # float-tie-level numerics (tests budget it).
             w_fuse = ChwConv1x1(dd, use_bias=False, dtype=dt,
                                 in_features=4 * dd, name="fuse")(None)
-            y = None
+            parts = []
             for s, (ft, (hs, ws)) in enumerate(feats_t):
                 fold = w_fuse[(3 - s) * dd:(4 - s) * dd]
                 p = ChwDense(dd, quant=self.quant, dtype=dt,
                              name=f"linear_c{s}")(ft, fold=fold)
-                if (hs, ws) != (th, tw):
-                    p = jax.image.resize(
-                        p.reshape(dd, n, hs, ws),
-                        (dd, n, th, tw), method="bilinear")
-                p = p.reshape(dd, n * th * tw).astype(dt)
-                y = p if y is None else y + p
+                parts.append((p, (hs, ws)))
+            if self.head_cascade:
+                # Smallest stage up: acc = up2(acc) + part, touching
+                # each resolution's (dd, tokens) buffer once (see the
+                # head_cascade field note for the bandwidth arithmetic
+                # and the budgeted up2∘up2-vs-up4 numerics).
+                acc = None
+                for s in (3, 2, 1, 0):
+                    p, (hs, ws) = parts[s]
+                    p = p.reshape(dd, n, hs, ws)
+                    acc = p if acc is None else p + jax.image.resize(
+                        acc, (dd, n, hs, ws), method="bilinear")
+                y = acc.reshape(dd, n * th * tw).astype(dt)
+            else:
+                y = None
+                for p, (hs, ws) in parts:
+                    if (hs, ws) != (th, tw):
+                        p = jax.image.resize(
+                            p.reshape(dd, n, hs, ws),
+                            (dd, n, th, tw), method="bilinear")
+                    p = p.reshape(dd, n * th * tw).astype(dt)
+                    y = p if y is None else y + p
             y = ChwBatchNorm(self.decoder_dim, epsilon=1e-5, dtype=dt,
                              name="fuse_bn")(y)
             y = nn.relu(y)

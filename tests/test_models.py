@@ -375,6 +375,34 @@ class TestEngine:
         with pytest.raises(ValueError, match="unknown SegFormer"):
             build_engine("segformer_b0_b1")
 
+    def test_segformer_head_cascade_trained_budget(self):
+        # "_hc" (head_cascade): the part-sum runs as a 2x-upsample
+        # cascade — NOT bit-equal to the direct x2/x4/x8 upsamples
+        # (up2∘up2 re-lerps across original knots), so it is budgeted
+        # on TRAINED weights like _q is: random-weight probes measured
+        # 3.9% flips (noise features = kinks everywhere) but the
+        # committed checkpoint measures 0.005-0.01% (PERF.md round 4e).
+        import os
+        ckpt = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "checkpoints",
+            "segformer_b0_synthetic.msgpack")
+        if not os.path.exists(ckpt):
+            pytest.skip("segformer_b0 checkpoint missing")
+        from bugcar_image_segmentation_tpu import synthetic
+        from bugcar_image_segmentation_tpu.utils.checkpoint import (
+            load_variables)
+
+        variables, cfg = load_variables(ckpt)
+        e = build_engine("segformer_b0", cfg, variables=variables)
+        eh = build_engine("segformer_b0_hc", cfg, variables=variables)
+        assert eh.module.head_cascade is True
+        for frame, _, _ in synthetic.video(
+                seed=11, num_frames=2,
+                shape=(cfg.input_height, cfg.input_width)):
+            flips = (np.asarray(e.predict(frame))
+                     != np.asarray(eh.predict(frame))).mean()
+            assert flips <= 0.005, f"{flips:.3%} trained-weight flips"
+
     def test_segformer_quarter_head(self, rng):
         # head_upsample="quarter" returns the head's native 1/4-res
         # logits; the full path is EXACTLY bilinear-resize of those
