@@ -75,6 +75,20 @@ def shard_engine_spatial(engine, mesh: Mesh, axis: str = "space"):
             f"input height {engine.cfg.input_height} does not divide the "
             f"'{axis}' mesh axis ({size}); pick a mesh the rows split "
             f"evenly over")
+    from ..models.segformer import SegFormer
+    is_segformer = isinstance(engine.module, SegFormer)
+    if is_segformer and (engine.cfg.input_height // 32) % size:
+        # Every stage's row count must divide the mesh, down to the
+        # deepest (h/32).  Uneven shards make GSPMD pad, and the padded
+        # garbage provably leaks through the attention all-gather in
+        # the EXPORTED replay of this program (measured: 0.30 logits
+        # error at stage3_rows=2 over 4 shards, exact at even splits —
+        # PERF.md round 4f); live serving happened to tolerate it, but
+        # one contract for both paths is the only safe rule.
+        raise ValueError(
+            f"SegFormer spatial partitioning needs the deepest stage's "
+            f"rows (input_height/32 = {engine.cfg.input_height // 32}) "
+            f"to divide the '{axis}' mesh axis ({size})")
 
     engine.pack_weights(False)
     rep = NamedSharding(mesh, P())
@@ -93,8 +107,7 @@ def shard_engine_spatial(engine, mesh: Mesh, axis: str = "space"):
     # + XLA attention — see the module docstring).  clone() keeps every
     # other field (preset widths/depths, quant, head_upsample), and the
     # parameter tree is identical, so engine.variables serve unchanged.
-    from ..models.segformer import SegFormer
-    if isinstance(engine.module, SegFormer):
+    if is_segformer:
         inner = engine.module.clone(xla_attention=True).apply
 
     def spatial_apply(variables, x, **kwargs):

@@ -349,6 +349,7 @@ class TestSpatialServing:
         (b) vs the single-chip serving path (CHW stages + Pallas
             kernel) only float-tie argmax flips — budgeted like the
             layout-twin parity test (test_models.py)."""
+        import pytest
         from bugcar_image_segmentation_tpu.models.api import build_engine
         from bugcar_image_segmentation_tpu.parallel import (
             make_mesh, shard_engine_spatial)
@@ -363,7 +364,11 @@ class TestSpatialServing:
                       variables=eng.variables)
         want_xla = np.asarray(twin.predict(x))
 
-        shard_engine_spatial(eng, make_mesh(4, axes=("space",)))
+        # 2-way: the deepest stage has 64/32 = 2 rows, and SegFormer
+        # requires EVERY stage's rows to divide the mesh (uneven GSPMD
+        # padding leaks through the attention all-gather in exported
+        # replays — parallel/spatial.py guard, PERF.md round 4f).
+        shard_engine_spatial(eng, make_mesh(2, axes=("space",)))
         got = np.asarray(eng.predict(x))
 
         np.testing.assert_array_equal(got, want_xla)
@@ -371,6 +376,10 @@ class TestSpatialServing:
         assert flips <= 0.02, (
             f"{flips:.2%} label flips vs the Pallas/CHW serving path "
             f"(budget 2%: layout twins differ only on float ties)")
+
+        eng4 = build_engine("segformer_b0", cfg)
+        with pytest.raises(ValueError, match="deepest stage"):
+            shard_engine_spatial(eng4, make_mesh(4, axes=("space",)))
 
     def test_spatial_pipeline_grid_matches_unsharded(self, rng):
         """The fused frame→grid program built over a spatial engine must
