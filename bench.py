@@ -36,9 +36,11 @@ def main() -> None:
     from __graft_entry__ import _toy_calibration
 
     cfg = ModelConfig()  # ENet 512x256, bf16 on TPU
-    # "_w16": serve from the bf16 weight cache — measured x1.20 on the
-    # bare forward (PERF.md round 4c); same label class (0.06% tie
-    # flips on chip, budgeted by the TPU tier).
+    # "_w16": serve from the bf16 weight cache — scan-slope parity with
+    # plain enet, but streaming dispatches once per FRAME, where the
+    # cache removes ~0.12 ms of per-leaf convert kernels + marshal
+    # (PERF.md rounds 3f/4c); same label class (0.06% tie flips on
+    # chip, budgeted by the TPU tier).
     engine = build_engine("enet_w16", cfg)
     cal = _toy_calibration((cfg.input_height, cfg.input_width))
     # host_resize: shrink the frame before the host->device link (the
@@ -215,10 +217,20 @@ def main() -> None:
           f"p50 latency {p50_ms:.2f} ms; device-side {dev_fps:.0f} fps "
           f"(batch-{tb}: {dev_fps_b:.0f} fps)",
           file=sys.stderr)
-    weather = ("" if stable else
-               f"; WEATHER: link never stabilized above {steady_fps:.0f} "
-               f"fps in {warm_budget_s:.0f}s of warm passes — trials "
-               f"reflect tunnel bandwidth, not the pipeline")
+    # Annotate weather only from MEASURED evidence, reconciled with the
+    # trials that actually ran: a failed warm-pass gate with healthy
+    # timed trials was just a long ramp (e.g. a cold compile ate the
+    # budget) and gets no annotation; a failed gate with slow trials is
+    # labeled with the probed bandwidth — stated as a reading, not a
+    # verdict, so a genuine pipeline regression on a healthy link is
+    # never excused as weather.
+    weather = ""
+    if not stable and fps < steady_fps:
+        weather = (f"; warm passes never exceeded {steady_fps:.0f} fps "
+                   f"in {warm_budget_s:.0f}s and the median stayed "
+                   f"below it too (link probes "
+                   f"{min(link_before, link_after):.0f} MB/s this "
+                   f"session)")
     if weather_retries:
         weather += (f"; {weather_retries} trial(s) weather-retried on a "
                     f"probed link collapse")

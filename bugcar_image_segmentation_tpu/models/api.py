@@ -351,7 +351,7 @@ def build_engine(name: str = "enet",
     elif name == "enet_fused":
         # Same module/variable tree as "enet"; forward runs the Pallas
         # fused-bottleneck trunk (models/enet_fused.py).  FROZEN, not a
-        # serving variant: measured x0.87 vs "enet" on the round-4 A/B
+        # serving variant: measured x0.85 vs "enet" on the round-4 A/B
         # (scripts/bench_enet_fused.py; PERF.md round 4c) — buildable
         # for the on-chip Mosaic test and future-hardware re-runs only.
         from .enet import ENet

@@ -21,11 +21,12 @@ API, same variable tree as ``"enet"``.
 
 STATUS: FROZEN as a documented-slower alternative, now on a CURRENT
 A/B (round 4, scripts/bench_enet_fused.py, whole-model serial-scan
-slope on the v5e): 0.647 ms vs the stock engine's 0.560 (x0.87) — far
-from round 2b's isolated 11.3-vs-0.5 µs/block reading (that harness
-timed the kernels outside the surrounding program, where XLA's
-cross-block fusion is exactly what the comparison was missing), but
-still a loss, and w16 weight caching widens it (0.674 vs 0.468).
+slope on the v5e, weights as jit arguments): 0.669 ms vs the stock
+engine's 0.571 (x0.85) — far from round 2b's isolated 11.3-vs-0.5
+µs/block reading (that harness timed the kernels outside the
+surrounding program, where XLA's cross-block fusion is exactly what
+the comparison was missing), but still a loss, and w16 weight caching
+widens it (0.758, x0.75).
 NOT counted as a serving variant; kept because (a) it is the only
 whole-block Pallas fusion in the tree (a template for future TPU
 generations — re-run scripts/bench_enet_fused.py before trusting

@@ -402,6 +402,16 @@ class SegFormer(nn.Module):
 
         chw_ok = not (train or self.xla_attention)
         full_chw = chw_ok and self.chw_stages >= 4 and self.chw_head
+        if self.head_cascade and not train and not full_chw:
+            # Never a silent no-op: the cascade is implemented only in
+            # the transposed head (where the fuse is folded into
+            # linear_c and the part-sum exists).  Training ignores
+            # inference-layout flags by design, like chw_stages.
+            raise ValueError(
+                "head_cascade requires the fully-transposed head "
+                "(chw_stages=4, chw_head=True, not xla_attention); "
+                "spatial serving drops it explicitly — "
+                "parallel/spatial.py")
         epad = "torch" if self.torch_compat else "same"
         egelu = self.torch_compat
 

@@ -53,11 +53,14 @@ def shard_engine_spatial(engine, mesh: Mesh, axis: str = "space"):
     ``Engine._build_programs``); pipelines constructed AFTER this call
     inherit the constraint inside their fused frame→grid programs.
 
-    Unlike tensor parallelism there is no divisibility requirement on
-    the model — GSPMD pads uneven row shards — but an input height that
-    divides ``mesh.shape[axis]`` keeps every shard's halo traffic
-    uniform, so we insist on it rather than silently serve a lopsided
-    partition.
+    Divisibility contract: the input height must divide
+    ``mesh.shape[axis]``, and for SegFormer every STAGE's row count
+    must too (``input_height/32 % size == 0``).  GSPMD can pad uneven
+    shards, but that padding is not observationally safe — the padded
+    rows provably leak through the attention all-gather when the
+    exported artifact is replayed (measured 0.30 logits error;
+    PERF.md round 4f) — so lopsided partitions are refused outright
+    rather than served.
 
     Packing is disabled first: flat-buffer packing exists to cut
     per-argument marshaling on a remote single chip, while spatial
@@ -108,7 +111,14 @@ def shard_engine_spatial(engine, mesh: Mesh, axis: str = "space"):
     # other field (preset widths/depths, quant, head_upsample), and the
     # parameter tree is identical, so engine.variables serve unchanged.
     if is_segformer:
-        inner = engine.module.clone(xla_attention=True).apply
+        # head_cascade is a transposed-head-only optimization; the
+        # stock NHWC layout this twin forces has no folded part-sum to
+        # cascade, so drop it EXPLICITLY (the model raises on an
+        # unreachable flag rather than silently no-op'ing).  Spatial
+        # serving therefore always runs the exact textbook head — the
+        # stricter numerics of the two.
+        inner = engine.module.clone(xla_attention=True,
+                                    head_cascade=False).apply
 
     def spatial_apply(variables, x, **kwargs):
         x = jax.lax.with_sharding_constraint(x, rows)

@@ -45,20 +45,25 @@ def main() -> None:
     print(f"[bench_deeplab] on {jax.devices()[0].device_kind}",
           file=sys.stderr)
 
-    def scan_slope(body, x0, n_lo, n_hi):
-        def prog(x, n):
+    def scan_slope(body, variables, x0, n_lo, n_hi):
+        # Weights ride as a jit ARGUMENT and the fence is a host READ
+        # (round-4 harness corrections: a closed-over tree lets XLA
+        # fold the f32->bf16 weight converts differently per variant —
+        # it skewed the w16 A/Bs — and block_until_ready returns early
+        # through the tunnel).
+        def prog(v, x, n):
             def step(c, _):
-                return body(c), None
+                return body(v, c), None
             y, _ = jax.lax.scan(step, x, None, length=n)
             return y
         ts = []
         for n in (n_lo, n_hi):
-            f = jax.jit(lambda x, n=n: prog(x, n))
-            jax.block_until_ready(f(x0))
+            f = jax.jit(lambda v, x, n=n: prog(v, x, n))
+            float(jnp.sum(f(variables, x0).astype(jnp.float32)))
             best = 1e9
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(f(x0))
+                float(jnp.sum(f(variables, x0).astype(jnp.float32)))
                 best = min(best, time.perf_counter() - t0)
             ts.append(best)
         dt = ts[1] - ts[0]
@@ -79,13 +84,13 @@ def main() -> None:
             x0 = jnp.asarray(
                 rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
 
-            def fbody(x, engine=engine):
-                y = engine._forward(engine.variables, x)
+            def fbody(v, x, engine=engine):
+                y = engine._forward(v, x)
                 p = (jnp.mean(y[..., 0].astype(jnp.float32))
                      * 1e-3).astype(x.dtype)
                 return jnp.clip(x + p, 0.0, 1.0)
 
-            t = scan_slope(fbody, x0, *args.iters)
+            t = scan_slope(fbody, engine.variables, x0, *args.iters)
             print(f"{eng_name:12s} forward @ {w}x{h}: {t:.3f} ms "
                   f"({1e3 / t:.0f} fps)")
 
@@ -98,12 +103,13 @@ def main() -> None:
             for interp in ("cv2_linear", "native"):
                 pipe = Pipeline(engine, cal, gc, interpolation=interp)
 
-                def pbody(fr, pipe=pipe, engine=engine):
-                    g, _ = pipe._run_impl(engine.variables, fr)
+                def pbody(v, fr, pipe=pipe):
+                    g, _ = pipe._run_impl(v, fr)
                     p = (jnp.sum(g.astype(jnp.int32)) % 2).astype(jnp.uint8)
                     return fr ^ p
 
-                t = scan_slope(pbody, frame0, *args.iters)
+                t = scan_slope(pbody, engine.variables, frame0,
+                               *args.iters)
                 print(f"{eng_name:12s} frame->grid [{interp:10s}]: "
                       f"{t:.3f} ms ({1e3 / t:.0f} fps)")
 

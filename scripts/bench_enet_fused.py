@@ -39,10 +39,14 @@ def main() -> None:
     n_lo, n_hi = args.iters
 
     def scan_slope(apply_fn, variables, x0):
-        def prog(x, n):
+        # Weights ride as a jit ARGUMENT (never a trace-time closure —
+        # CLAUDE.md rule): a closed-over tree would let XLA
+        # constant-fold the per-leaf f32→bf16 weight converts that the
+        # w16 cache exists to remove, biasing this exact A/B.
+        def prog(v, x, n):
             def step(c, i):
                 f = c + (i.astype(c.dtype) * 1e-6)   # defeat LICM
-                y = apply_fn(variables, f, train=False)
+                y = apply_fn(v, f, train=False)
                 # feed a scalar of the output back into the carry so the
                 # scan is serially dependent
                 return c + y[0, 0, 0, :3].astype(c.dtype) * 1e-9, None
@@ -50,12 +54,15 @@ def main() -> None:
             return y
         ts = []
         for n in (n_lo, n_hi):
-            f = jax.jit(lambda x, n=n: prog(x, n))
-            jax.block_until_ready(f(x0))
+            f = jax.jit(lambda v, x, n=n: prog(v, x, n))
+            float(jnp.sum(f(variables, x0).astype(jnp.float32)))
             best = 1e9
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(f(x0))
+                # Host READ as the fence: block_until_ready returns
+                # EARLY through the tunnel (CLAUDE.md / PERF.md round
+                # 3f) and can time a dispatch as ~nothing.
+                float(jnp.sum(f(variables, x0).astype(jnp.float32)))
                 best = min(best, time.perf_counter() - t0)
             ts.append(best)
         dt = ts[1] - ts[0]

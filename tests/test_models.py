@@ -403,6 +403,23 @@ class TestEngine:
                      != np.asarray(eh.predict(frame))).mean()
             assert flips <= 0.005, f"{flips:.3%} trained-weight flips"
 
+    def test_segformer_head_cascade_unreachable_raises(self, rng):
+        # _hc must never be a silent no-op: the cascade lives only in
+        # the fully-transposed head, so inference with a config that
+        # can't reach it (xla_attention / partial chw) raises; training
+        # ignores inference-layout flags by design.
+        from bugcar_image_segmentation_tpu.models.segformer import SegFormer
+
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        m = SegFormer(num_classes=5, dtype=jnp.float32, head_cascade=True,
+                      xla_attention=True)
+        v = SegFormer(num_classes=5, dtype=jnp.float32).init(
+            jax.random.PRNGKey(0), x, train=False)
+        with pytest.raises(ValueError, match="head_cascade"):
+            m.apply(v, x, train=False)
+        y, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+        assert y.shape == (1, 64, 64, 5)
+
     def test_segformer_quarter_head(self, rng):
         # head_upsample="quarter" returns the head's native 1/4-res
         # logits; the full path is EXACTLY bilinear-resize of those
