@@ -381,6 +381,21 @@ class TestSpatialServing:
         with pytest.raises(ValueError, match="deepest stage"):
             shard_engine_spatial(eng4, make_mesh(4, axes=("space",)))
 
+        # An _hc engine still spatial-serves: the clone drops the
+        # cascade flag explicitly (transposed-head-only optimization;
+        # the model RAISES on unreachable head_cascade, so this line
+        # crashing would mean the drop regressed).  Labels match the
+        # same xla_attention twin — spatial serving runs the exact
+        # textbook head regardless of the single-chip variant.
+        ehc = build_engine("segformer_b0_hc", cfg,
+                          variables=eng4.variables)
+        shard_engine_spatial(ehc, make_mesh(2, axes=("space",)))
+        got_hc = np.asarray(ehc.predict(x))
+        twin4 = Engine(eng4.module.clone(xla_attention=True), cfg,
+                       variables=eng4.variables)
+        np.testing.assert_array_equal(got_hc,
+                                      np.asarray(twin4.predict(x)))
+
     def test_spatial_pipeline_grid_matches_unsharded(self, rng):
         """The fused frame→grid program built over a spatial engine must
         reproduce the single-device grid (the warp's packed gather
