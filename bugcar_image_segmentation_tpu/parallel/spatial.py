@@ -18,7 +18,9 @@ gather, grid.py) trigger an all-gather of the final uint8 label map —
 ~128 KB at 512x256, negligible next to the activations that stayed
 sharded.
 
-Scope: every backbone in the zoo.  The conv nets (enet / deeplab /
+Scope: every SERVING backbone in the zoo (the frozen ``enet_fused``
+executor is refused — a pallas_call with no SPMD rule and no layout
+twin).  The conv nets (enet / deeplab /
 xception / unet) partition as-is.  SegFormer needs a layout switch
 first: its single-chip serving path runs the Pallas attention kernel in
 the transposed (C, pixels) orientation, and pallas_call has no SPMD
@@ -78,6 +80,16 @@ def shard_engine_spatial(engine, mesh: Mesh, axis: str = "space"):
             f"input height {engine.cfg.input_height} does not divide the "
             f"'{axis}' mesh axis ({size}); pick a mesh the rows split "
             f"evenly over")
+    from ..models.enet_fused import FusedENetApply
+    if isinstance(engine.apply_fn, FusedENetApply):
+        # Like SegFormer's Pallas attention, the fused-bottleneck
+        # executor is a pallas_call with no SPMD partitioning rule —
+        # but enet_fused has no layout twin to swap to (and is FROZEN
+        # as a non-serving alternative anyway, PERF.md round 4c), so
+        # refuse instead of silently serving unsharded.
+        raise ValueError(
+            "enet_fused cannot be spatially partitioned (pallas_call "
+            "has no SPMD rule); use the stock 'enet' engine")
     from ..models.segformer import SegFormer
     is_segformer = isinstance(engine.module, SegFormer)
     if is_segformer and (engine.cfg.input_height // 32) % size:

@@ -37,7 +37,7 @@ def main() -> int:
     p.add_argument("--save-dtype", default="float32",
                    choices=("float32", "bfloat16"),
                    help="checkpoint float dtype; bfloat16 halves the "
-                        "artifact (used for the 160 MB Xception twin so "
+                        "artifact (used for the 110 MB Xception twin so "
                         "a reproducible checkpoint fits the repo — "
                         "serving-grade, not an optimizer-resume master; "
                         "see Engine.cache_weights numerics notes)")

@@ -310,6 +310,20 @@ class TestSpatialServing:
         with pytest.raises(ValueError, match="divide"):
             shard_engine_spatial(eng, make_mesh(3, axes=("space",)))
 
+    def test_spatial_rejects_enet_fused(self):
+        """The frozen fused-bottleneck executor is a pallas_call with no
+        SPMD partitioning rule and no layout twin — refused outright
+        (ADVICE r4) rather than silently served unsharded."""
+        import pytest
+        from bugcar_image_segmentation_tpu.models.api import build_engine
+        from bugcar_image_segmentation_tpu.parallel import (
+            make_mesh, shard_engine_spatial)
+
+        cfg = ModelConfig(input_width=64, input_height=32, dtype="float32")
+        eng = build_engine("enet_fused", cfg)
+        with pytest.raises(ValueError, match="enet_fused"):
+            shard_engine_spatial(eng, make_mesh(4, axes=("space",)))
+
     def test_spatial_weights_replicated_and_durable(self, rng):
         """Weights must be placed replicated over the mesh, and the
         placement must survive load_variables (the placer contract the
@@ -476,6 +490,66 @@ class TestSpatialTraining:
         for a, b in zip(ref_bs, sp_bs):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=5e-6)
+
+    def test_dp_sp_segformer_train_step_matches_unsharded(self, rng):
+        """VERDICT r4 #6: SegFormer's TRAINING forward is the XLA einsum
+        attention path (models/segformer.py — ``if train or
+        xla_attention``), which is exactly what makes it
+        GSPMD-partitionable; SegFormer@1024² is the backbone whose
+        activation footprint actually motivates spatial training.  One
+        dp x space step must match the unsharded step (loss AND
+        params)."""
+        import optax
+        from bugcar_image_segmentation_tpu.models.segformer import SegFormer
+        from bugcar_image_segmentation_tpu.parallel import replicate
+        from bugcar_image_segmentation_tpu.parallel.spatial import (
+            shard_batch_spatial)
+        from bugcar_image_segmentation_tpu.training import (
+            create_train_state, make_train_step)
+
+        h = w = 64
+        batch = 4
+        images = rng.normal(size=(batch, h, w, 3)).astype(np.float32)
+        labels = rng.integers(0, 15, size=(batch, h, w)).astype(np.int32)
+        model = SegFormer.preset("b0", num_classes=15, dtype=jnp.float32)
+        step = jax.jit(make_train_step(model))
+        key = jax.random.PRNGKey(11)
+        sgd = optax.sgd(1e-2)
+
+        state0 = create_train_state(model, (1, h, w, 3), seed=5,
+                                    optimizer=sgd)
+        ref_state, ref_loss = step(state0, jnp.asarray(images),
+                                   jnp.asarray(labels), key)
+
+        # space=2: the deepest stage has 64/32 = 2 rows, and only even
+        # splits are observationally safe (PERF.md round 4f).
+        mesh = make_mesh(8, axes=("data", "space"), shape=(4, 2))
+        state1 = create_train_state(model, (1, h, w, 3), seed=5,
+                                    optimizer=sgd)
+        state1 = replicate(state1, mesh)
+        simages, slabels = shard_batch_spatial(
+            (jnp.asarray(images), jnp.asarray(labels)), mesh)
+        assert "space" in str(simages.sharding.spec)
+        skey = jax.device_put(key, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        sp_state, sp_loss = step(state1, simages, slabels, skey)
+
+        np.testing.assert_allclose(float(sp_loss), float(ref_loss),
+                                   rtol=1e-5)
+        ref_params = jax.tree_util.tree_leaves_with_path(ref_state.params)
+        sp_params = dict(
+            jax.tree_util.tree_leaves_with_path(sp_state.params))
+        assert len(ref_params) == len(sp_params)
+        for path, leaf in ref_params:
+            np.testing.assert_allclose(
+                np.asarray(sp_params[path]), np.asarray(leaf),
+                rtol=1e-4, atol=1e-5,
+                err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+        ref_bs = jax.tree_util.tree_leaves(ref_state.batch_stats)
+        sp_bs = jax.tree_util.tree_leaves(sp_state.batch_stats)
+        for a, b in zip(ref_bs, sp_bs):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
 
     def test_shard_batch_spatial_rejects_scalars(self):
         import pytest
