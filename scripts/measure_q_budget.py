@@ -31,7 +31,7 @@ sys.path.insert(0, REPO)
 
 NUM_FRAMES = 8
 SEED = 11
-MODELS = ("deeplab", "segformer_b0")
+MODELS = ("deeplab", "segformer_b0", "deeplab_xception")
 
 
 def measure(name: str, force_cpu: bool = False,

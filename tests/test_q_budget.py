@@ -10,9 +10,11 @@ checkpoints over the deterministic synthetic driving sequence.
 
 Measured 2026-08-20 over the full 8-frame sequence
 (scripts/measure_q_budget.py): label disagreement max 0.83% (deeplab) /
-0.81% (segformer_b0); grid-cell delta max 0.28% in every pipeline mode.
-Budgets below carry ~2x headroom; a regression past them means the
-quarter head's semantics drifted, not noise.
+0.81% (segformer_b0) / 0.82% (deeplab_xception, round-5 from the
+committed bf16 mIoU-0.9948 twin checkpoint); grid-cell delta max 0.28%
+in every pipeline mode (xception: 0.17%).  Budgets below carry ~2x
+headroom; a regression past them means the quarter head's semantics
+drifted, not noise.
 """
 
 import os
@@ -29,7 +31,8 @@ def _ckpt(name):
     return os.path.join(REPO, "checkpoints", f"{name}_synthetic.msgpack")
 
 
-@pytest.mark.parametrize("name", ["deeplab", "segformer_b0"])
+@pytest.mark.parametrize("name", ["deeplab", "segformer_b0",
+                                  "deeplab_xception"])
 def test_q_semantic_budget_trained(name):
     if not os.path.exists(_ckpt(name)):
         pytest.skip(f"committed checkpoint missing: {_ckpt(name)}")
