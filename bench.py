@@ -201,9 +201,14 @@ def main() -> None:
     batch = jnp.stack([dev_frame] * tb)
 
     def run_scan_batch(variables, frames, n):
+        # The REAL batched program body (batched backbone + per-frame
+        # unrolled grid builds) — not a vmap of the single-frame program,
+        # whose batched warp gather cost ~0.2 ms/frame (the round-5b
+        # batch-gap fix; vmapping `run` was both what this scan measured
+        # AND what streaming shipped before it).
         def body(carry, i):
             f = frames ^ i.astype(frames.dtype)
-            grids = jax.vmap(lambda fr: pipe._run_impl(variables, fr)[0])(f)
+            grids = pipe._run_batch_impl(variables, f)
             return carry, grids
         _, gs = jax.lax.scan(body, 0, jnp.arange(n, dtype=jnp.uint8))
         return gs[-1]

@@ -161,22 +161,71 @@ class Pipeline:
                 out = jnp.stack(out)
             return out, seg
 
+        def run_chunk(variables: dict, frames: jax.Array) -> jax.Array:
+            # One <=4-frame chunk: the backbone runs the frames as ONE
+            # batch (batch convs amortize per-op fixed costs on the MXU),
+            # but the grid builds UNROLL per frame — vmapping `run` would
+            # turn the warp's packed gather into a BATCHED gather, which
+            # XLA lowers ~2.4x slower than K constant-index gathers (the
+            # multi-camera pipeline's round-2b lesson; re-measured as the
+            # round-5 batch-gap fix — the vmapped form cost ~0.2 ms/frame,
+            # PERF.md round 5b).  The elementwise stages (i420, clahe,
+            # remap, label lift) stay batched — they vectorize trivially.
+            variables = engine._materialize(variables)
+            if self.transport == "i420":
+                from .ops import yuv
+                # Unrolled per frame: converting the (K, 3H/2, W) batch
+                # in one op costs +0.22 ms/frame at K=4 — the batched
+                # chroma reshape (W → W/2 across the lane dim) is a
+                # relayout whether vmapped or explicit; K independent 2D
+                # conversions are near the single-frame cost (0.17 vs
+                # 0.14 ms — PERF.md round 5b).
+                frames = jnp.stack(
+                    [yuv.i420_to_bgr(frames[j], self._model_hw)
+                     for j in range(frames.shape[0])])
+            if use_clahe:
+                from . import postproc
+                frames = jax.vmap(postproc.clahe)(frames)
+            logits = engine._forward(variables, frames)
+            if mode == "multiclass":
+                segs = remap.logits_to_drivability(logits,
+                                                   engine.remap_table)
+            else:
+                segs = remap.logits_to_binary_road(logits)
+            seg_heads = segs
+            segs = engine._to_input_res(segs)
+            if contour_filter:
+                from . import postproc
+                road = (segs == remap.ROAD).astype(jnp.uint8)
+                kept = jax.vmap(postproc.contour_noise_removal)(road)
+                if mode == "multiclass":
+                    segs = jnp.where((road == 1) & (kept == 0),
+                                     jnp.uint8(remap.FLAT_NON_ROAD), segs)
+                else:
+                    segs = kept
+            src = seg_heads if self._grid_label_scale > 1 else segs
+            outs = []
+            for j in range(frames.shape[0]):
+                out = self.builder.build(src[j])
+                if isinstance(out, tuple):
+                    out = jnp.stack(out)
+                outs.append(out)
+            return jnp.stack(outs)
+
         def run_batch(variables: dict, frames: jax.Array) -> jax.Array:
             # Batches beyond 4 overflow VMEM (the packed warp sources
             # alone are 2 MB f32 each, plus stem activations) and turn
             # the program HBM-bound — measured 2x/frame at batch 8
             # (PERF.md round 2).  Chunk the batch through a lax.map so
-            # the working set stays one 4-frame chunk; within-chunk
-            # frames still vmap (amortizing per-op fixed costs).
+            # the working set stays one 4-frame chunk.
             k = frames.shape[0]
             chunk = 4
-            one = lambda v, f: run(v, f)[0]
             if k <= chunk:
-                return jax.vmap(one, in_axes=(None, 0))(variables, frames)
-            # Never vmap more than `chunk` frames in one program — pad
+                return run_chunk(variables, frames)
+            # Never run more than `chunk` frames in one chunk — pad
             # ragged batches up to a chunk multiple (recomputing a few
             # head frames) and drop the extras, instead of silently
-            # falling back to the whole-batch vmap whose working set
+            # falling back to a whole-batch program whose working set
             # spills VMEM (measured 2x/frame at batch 8, PERF.md).
             pad = -k % chunk
             if pad:
@@ -184,8 +233,7 @@ class Pipeline:
             fr = frames.reshape(((k + pad) // chunk, chunk)
                                 + frames.shape[1:])
             grids = jax.lax.map(
-                lambda c: jax.vmap(one, in_axes=(None, 0))(variables, c),
-                fr)
+                lambda c: run_chunk(variables, c), fr)
             return grids.reshape((k + pad,) + grids.shape[2:])[:k]
 
         # Variables ride along as a runtime argument (see models/api.py) so
@@ -193,6 +241,7 @@ class Pipeline:
         self._run = jax.jit(run)
         self._run_batch = jax.jit(run_batch)
         self._run_impl = run
+        self._run_batch_impl = run_batch  # un-jitted body (bench/export)
 
     @classmethod
     def from_configs(cls,
