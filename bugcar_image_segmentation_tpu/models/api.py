@@ -378,21 +378,27 @@ def build_engine(name: str = "enet",
           or name.startswith(("deeplab_xception_", "xception_"))):
         # Architecture-faithful twin of the actual deeplab.pb export
         # (Xception-65 backbone) — the variant the real blob pours into.
-        # Grammar: "[deeplab_]xception[_q][_int8]" — "_q" quarter head,
-        # "_int8" int8-MXU pointwise 1x1s (the 728x728+ matmuls clear
-        # ops/quant.py's K,N>=512 gate; same float param tree).
+        # Grammar: "[deeplab_]xception[_q][_int8][_fs]" — "_q" quarter
+        # head, "_int8" int8-MXU pointwise 1x1s (the 728x728+ matmuls
+        # clear ops/quant.py's K,N>=512 gate; same float param tree),
+        # "_fs" banded Pallas fused sepconvs for the dilation-1
+        # entry/middle flows (ops/pallas/sepconv.py) — FROZEN
+        # documented negative, kept compiling for re-measurement on new
+        # toolchains, NOT a serving variant (x0.76 whole-model; PERF.md
+        # round 5c).
         from .xception import Xception65DeepLab
         tokens = name.replace("deeplab_xception", "xception").split("_")[1:]
-        if any(t not in ("q", "int8") for t in tokens):
+        if any(t not in ("q", "int8", "fs") for t in tokens):
             raise ValueError(
                 f"unknown Xception variant {name!r}; grammar is "
-                f"[deeplab_]xception[_q][_int8]")
+                f"[deeplab_]xception[_q][_int8][_fs]")
         cfg = cfg or ModelConfig(name="deeplab_xception", input_width=1024,
                                  input_height=512, num_classes=15)
         module = Xception65DeepLab(
             num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype),
             head_upsample="quarter" if "q" in tokens else "full",
-            pw_int8="int8" in tokens)
+            pw_int8="int8" in tokens,
+            fused_sepconv="fs" in tokens)
     elif name == "segformer" or name.startswith("segformer_"):
         from .segformer import SEGFORMER_PRESETS, SegFormer
         # Name grammar: "segformer[_bN][_q][_int8]" with the flags in any

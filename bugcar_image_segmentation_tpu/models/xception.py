@@ -32,6 +32,45 @@ from .deeplab import ASPP, ConvBN, _upsample
 from .fastconv import DepthwiseConv3x3Shift
 
 
+class _Kernel(nn.Module):
+    """Param-tree twin of ``nn.Conv(..., use_bias=False)``: declares the
+    ``kernel`` param (same name/shape/init/dtype) without running the
+    conv, so the fused-sepconv path below reads the raw weights while
+    checkpoints and the ``.pb`` order-zipping converter pour in
+    unchanged (the ShiftMatmulConv3x3 tree-compat idiom)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _FoldedBN(nn.Module):
+    """Param-tree twin of ``nn.BatchNorm``: same four variables
+    (params scale/bias, batch_stats mean/var — identical names, shapes,
+    inits), returned pre-folded as the (scale, bias) affine the Pallas
+    kernel consumes (ops/pallas/bottleneck.fold_bn algebra)."""
+
+    features: int
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self) -> Tuple[jax.Array, jax.Array]:
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones, (f,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,),
+                          jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((f,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((f,), jnp.float32))
+        k = scale / jnp.sqrt(var.value + self.epsilon)
+        return k, bias - mean.value * k
+
+
 class Int8Conv1x1(nn.Module):
     """A bias-free 1x1 conv computed as one int8-MXU matmul.
 
@@ -81,11 +120,48 @@ class SepConvBN(nn.Module):
     # (VERDICT r3 weak #2).  Same float32 param tree; pure compute-path
     # flag, A/B'd by engine name suffix "_int8".
     pw_int8: bool = False
+    # Inference-only: lower the whole sepconv (dw3x3 → BN → ReLU → pw1x1
+    # → BN [→ ReLU]) as ONE banded Pallas kernel — the depthwise
+    # intermediate never round-trips HBM (ops/pallas/sepconv.py).
+    # FROZEN documented negative (PERF.md round 5c): wins every
+    # ISOLATED A/B (x1.2-x3.8 per shape) and loses or ties every
+    # in-model one — XLA+MSA already run the small-map flows at
+    # roofline (S(1) alternate-memory placements in the compiled HLO),
+    # and the large-map entry wins evaporate at model boundaries.
+    # Applies where the kernel does: inference, dilation 1, stride 1 or
+    # SAME-padded stride 2 at 128 lanes, float pw path; elsewhere the
+    # flag silently keeps the XLA lowering.  Engine name suffix "_fs";
+    # identical parameter tree (_Kernel/_FoldedBN twins).
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c = x.shape[-1]
         h, w = x.shape[1], x.shape[2]
+        use_fused = (not train
+                     and bool(self.fused)
+                     and not self.pw_int8
+                     and self.dilation == (1, 1)
+                     and (self.strides == (1, 1)
+                          or (self.strides == (2, 2)
+                              and h % 2 == 0 and w % 2 == 0
+                              # Mosaic's strided_load (the stride-2
+                              # taps) requires the lane dim to be
+                              # exactly 128 ("last dim size is not 128
+                              # in original base memref") — block1's
+                              # sep2 qualifies; block2/3's (256/728 ch)
+                              # keep the XLA lowering.
+                              and c == 128)))
+        if use_fused:
+            from ..ops.pallas.sepconv import fused_sepconv
+            wdw = _Kernel((3, 3, 1, c), name="depthwise")()
+            k1, c1 = _FoldedBN(c, name="depthwise_bn")()
+            wpw = _Kernel((1, 1, c, self.features), name="pointwise")()
+            k2, c2 = _FoldedBN(self.features, name="pointwise_bn")()
+            return fused_sepconv(x.astype(self.dtype), wdw, k1, c1,
+                                 wpw[0, 0], k2, c2,
+                                 strides=self.strides[0],
+                                 act_out=self.act_out)
         use_dws = (not train
                    and (False if self.dw_shift is None else self.dw_shift)
                    and (self.strides == (1, 1)
@@ -137,6 +213,7 @@ class XceptionBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     dw_shift: Optional[bool] = None
     pw_int8: bool = False
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -144,14 +221,14 @@ class XceptionBlock(nn.Module):
         d = (self.dilation, self.dilation)
         y = SepConvBN(self.features[0], dilation=d, dtype=self.dtype,
                       dw_shift=self.dw_shift, pw_int8=self.pw_int8,
-                      name="sep0")(x, train)
+                      fused=self.fused, name="sep0")(x, train)
         mid = SepConvBN(self.features[1], dilation=d, dtype=self.dtype,
                         dw_shift=self.dw_shift, pw_int8=self.pw_int8,
-                        name="sep1")(y, train)
+                        fused=self.fused, name="sep1")(y, train)
         y = SepConvBN(self.features[2], strides=self.strides, dilation=d,
                       act_out=False, dtype=self.dtype,
                       dw_shift=self.dw_shift, pw_int8=self.pw_int8,
-                      name="sep2")(mid, train)
+                      fused=self.fused, name="sep2")(mid, train)
         if self.skip == "conv":
             s = nn.Conv(self.features[2], (1, 1), strides=self.strides,
                         use_bias=False, dtype=self.dtype,
@@ -188,6 +265,22 @@ class Xception65DeepLab(nn.Module):
     # int8-MXU pointwise 1x1s where K,N >= 512 (SepConvBN.pw_int8) —
     # engine name suffix "_int8"; same float param tree.
     pw_int8: bool = False
+    # Banded Pallas fused-sepconv inference lowering (SepConvBN.fused).
+    # True/"all": every dilation-1 sepconv — the entry flow plus all 48
+    # middle-flow sepconvs; "entry"/"middle"/"blockN": that flow/block
+    # only (the per-flow A/B instrument); the dilation-2 exit flow
+    # always keeps the XLA path.  Engine suffix "_fs" — FROZEN
+    # documented negative, NOT a serving variant (x0.76 whole-model,
+    # block-level parity at best; PERF.md round 5c).
+    fused_sepconv: Any = False
+
+    def _fuse(self, site: str) -> bool:
+        f = self.fused_sepconv
+        if f in (True, "all"):
+            return True
+        if f == "entry":
+            return site.startswith("block")
+        return f == site
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -210,19 +303,21 @@ class Xception65DeepLab(nn.Module):
                    name="conv1_2")(y, train)
         y, _ = XceptionBlock((128, 128, 128), strides=(2, 2), dtype=dt,
                              dw_shift=self.dw_shift, pw_int8=self.pw_int8,
-                             name="block1")(y, train)
+                             fused=self._fuse("block1"), name="block1")(y, train)
         y, low_level = XceptionBlock((256, 256, 256), strides=(2, 2),
                                      dtype=dt, dw_shift=self.dw_shift,
                                      pw_int8=self.pw_int8,
+                                     fused=self._fuse("block2"),
                                      name="block2")(y, train)
         y, _ = XceptionBlock((728, 728, 728), strides=(2, 2), dtype=dt,
                              dw_shift=self.dw_shift, pw_int8=self.pw_int8,
-                             name="block3")(y, train)
+                             fused=self._fuse("block3"), name="block3")(y, train)
 
         # Middle flow: 16 identity-skip blocks at stride 16.
         for i in range(self.middle_blocks):
             y, _ = XceptionBlock((728, 728, 728), skip="sum", dtype=dt,
                                  dw_shift=self.dw_shift, pw_int8=self.pw_int8,
+                                 fused=self._fuse("middle"),
                                  name=f"middle{i}")(y, train)
 
         # Exit flow: the stride-2 block runs at stride 1 with dilation 2

@@ -90,6 +90,13 @@ def shard_engine_spatial(engine, mesh: Mesh, axis: str = "space"):
         raise ValueError(
             "enet_fused cannot be spatially partitioned (pallas_call "
             "has no SPMD rule); use the stock 'enet' engine")
+    if getattr(engine.module, "fused_sepconv", False):
+        # Same reasoning for the frozen Xception "_fs" variant: its
+        # banded sepconv pallas_calls have no SPMD rule; the stock
+        # xception engine spatial-serves identically (same tree).
+        raise ValueError(
+            "fused-sepconv (_fs) engines cannot be spatially "
+            "partitioned; use the stock engine (identical weights)")
     from ..models.segformer import SegFormer
     is_segformer = isinstance(engine.module, SegFormer)
     if is_segformer and (engine.cfg.input_height // 32) % size:
