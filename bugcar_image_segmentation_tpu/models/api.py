@@ -335,6 +335,11 @@ def build_engine(name: str = "enet",
 
     ``enet`` (models.py:14), ``deeplab`` (models.py:98), ``unet``
     (the Keras model.h5 configuration), ``segformer`` (BASELINE config 5).
+
+    The measured engine recommendation per deployment configuration
+    (which variant suffixes to use, with the numbers and budgets that
+    earned them) lives in **docs/SERVING.md** — the authoritative
+    config→engine table.
     """
     name = name.lower()
     # "_w16" (any model): serve from bfloat16-cached weights — numerics

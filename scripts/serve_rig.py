@@ -36,7 +36,10 @@ def main() -> int:
                      help="cv2 device indices, one per calibration")
     src.add_argument("--synthetic", type=int, metavar="N",
                      help="N synthetic ticks (smoke/benchmark mode)")
-    p.add_argument("--model", default="enet")
+    # enet_w16: the measured rig recommendation (docs/SERVING.md) — the
+    # bf16 weight cache removes ~0.12 ms of per-dispatch convert+marshal
+    # in the one-dispatch-per-rig streaming regime (PERF.md round 3f).
+    p.add_argument("--model", default="enet_w16")
     p.add_argument("--checkpoint")
     p.add_argument("--grid", default="8x8x0.1",
                    help="WIDTHxHEIGHTxCELL in meters")
