@@ -374,11 +374,22 @@ def build_engine(name: str = "enet",
         module = DeepLabV3(
             num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype),
             head_upsample="quarter" if name.endswith("_q") else "full")
-    elif name == "unet":
+    elif name in ("unet", "unet_ph"):
+        # "_ph": encoder/decoder stages up to the measured-best width
+        # gate run in 2x2 phase space (UNet.phase_max_width — 4x
+        # channels at quarter pixels fill the MXU lanes narrow NHWC
+        # convs leave idle; whole-model A/B in PERF.md round 5e).
+        # Same variable tree.
         from .unet import UNet
         cfg = cfg or ModelConfig(name="unet", input_width=512,
                                  input_height=256, num_classes=15)
-        module = UNet(num_classes=cfg.num_classes, dtype=jnp.dtype(cfg.dtype))
+        # Gate 32 = the full-res pair only: measured best (1.42 ms vs
+        # 1.83 stock; gate 64 1.49 — the half-res pair's s2d/d2s
+        # relayouts eat its smaller lane win; gates >=128 pure 16/9 MAC
+        # overhead, PERF.md round 5e).
+        module = UNet(num_classes=cfg.num_classes,
+                      dtype=jnp.dtype(cfg.dtype),
+                      phase_max_width=32 if name.endswith("_ph") else 0)
     elif (name in ("deeplab_xception", "xception")
           or name.startswith(("deeplab_xception_", "xception_"))):
         # Architecture-faithful twin of the actual deeplab.pb export

@@ -456,6 +456,120 @@ class S2d4StemConv2x(nn.Module):
         return depth_to_space(y)
 
 
+
+class KernelParam(nn.Module):
+    """Param-tree twin of ``nn.Conv(..., use_bias=False)``: declares the
+    ``kernel`` param (same name/shape/init/dtype) without running the
+    conv — lets custom lowerings (fused Pallas sepconv, phase-space
+    convs) read the raw weights while checkpoints and converters pour
+    in unchanged (the ShiftMatmulConv3x3 tree-compat idiom).  Pass
+    ``use_bias=True`` to also declare the matching ``bias``."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", initializers.lecun_normal(),
+                            self.shape, jnp.float32)
+        if not self.use_bias:
+            return kernel
+        bias = self.param("bias", initializers.zeros_init(),
+                          (self.shape[-1],), jnp.float32)
+        return kernel, bias
+
+
+class FoldedBNParams(nn.Module):
+    """Param-tree twin of ``nn.BatchNorm``: same four variables
+    (params scale/bias, batch_stats mean/var — identical names, shapes,
+    inits), returned pre-folded as the inference (scale, bias) affine
+    (ops/pallas/bottleneck.fold_bn algebra)."""
+
+    features: int
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self):
+        f = self.features
+        scale = self.param("scale", initializers.ones, (f,), jnp.float32)
+        bias = self.param("bias", initializers.zeros, (f,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((f,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((f,), jnp.float32))
+        k = scale / jnp.sqrt(var.value + self.epsilon)
+        return k, bias - mean.value * k
+
+
+def fold_conv3x3_phase(w: jax.Array) -> jax.Array:
+    """Fold a stride-1 SAME (3, 3, Cin, Cout) kernel into the
+    (2, 2, 4Cin, 4Cout) kernel that computes the same conv in 2x2 phase
+    space (the :func:`space_to_depth` channel layout, phase-major).
+
+    Derivation: with ``P[u, v, (r, s, c)] = X[2u+r, 2v+s, c]`` and
+    output phase (a, b), ``Y[2i+a, 2j+b] = Σ_{dy,dx} X[2i+a+dy,
+    2j+b+dx] W[dy, dx]`` reads packed rows ``u = a-1+α`` for
+    α ∈ {0, 1} (and symmetrically cols), so a single 2x2 VALID conv
+    over the 1-padded packed map produces every phase at spatial
+    offset (a, b): tap (α, β) of output group (a, b), input group
+    (r, s) carries ``W[a-2+2α+r, b-2+2β+s]`` (center-relative; zero
+    when outside the 3x3).  9 of the 16 (α, r) x (β, s) combinations
+    are live per phase — the 16/9 MAC overhead phase algebra always
+    pays, bought back several-fold in MXU lane occupancy when
+    Cout < 128 (4Cout lanes instead of Cout; PERF.md round 5e).
+    """
+    zero = jnp.zeros_like(w[0, 0])
+
+    def blk(alpha, beta, r, s, a, b):
+        dy = a - 2 + 2 * alpha + r
+        dx = b - 2 + 2 * beta + s
+        if -1 <= dy <= 1 and -1 <= dx <= 1:
+            return w[dy + 1, dx + 1]
+        return zero
+
+    phases = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    return jnp.stack([
+        jnp.stack([
+            jnp.concatenate([
+                jnp.concatenate([blk(alpha, beta, r, s, a, b)
+                                 for (a, b) in phases], axis=1)
+                for (r, s) in phases], axis=0)
+            for beta in (0, 1)], axis=0)
+        for alpha in (0, 1)], axis=0)
+
+
+def phase_conv3x3(p: jax.Array, w: jax.Array, dtype) -> jax.Array:
+    """Stride-1 SAME 3x3 conv evaluated in 2x2 phase space.
+
+    ``p``: (N, H/2, W/2, 4Cin) packed (:func:`space_to_depth` layout);
+    ``w``: the ordinary (3, 3, Cin, Cout) kernel; returns the packed
+    (N, H/2, W/2, 4Cout) result — numerically the conv's value, summed
+    in the folded order (float-order differs from the NHWC lowering;
+    budgeted, not bit-equal).
+    """
+    n, h2, w2, c4 = p.shape
+    cout = w.shape[-1]
+    k = fold_conv3x3_phase(w).astype(dtype)
+    pp = jnp.pad(p, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    r = lax.conv_general_dilated(pp.astype(dtype), k, (1, 1), "VALID",
+                                 dimension_numbers=_DN)
+    parts = []
+    for a in (0, 1):
+        for b in (0, 1):
+            g = a * 2 + b
+            parts.append(r[:, a:a + h2, b:b + w2,
+                           g * cout:(g + 1) * cout])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def phase_max_pool(p: jax.Array) -> jax.Array:
+    """2x2/2 max pool of the UNPACKED map, computed on the packed one:
+    the pool window IS the phase block, so the pool is a max over the
+    4 phase groups — bit-exact, no depth-to-space needed."""
+    n, h2, w2, c4 = p.shape
+    return p.reshape(n, h2, w2, 4, c4 // 4).max(axis=3)
+
+
 class ShiftMatmulConv3x3(nn.Module):
     """Stride-1 3x3 (optionally dilated) conv as nine shift+matmuls.
 

@@ -29,46 +29,11 @@ import jax.numpy as jnp
 
 from ..ops.quant import int8_matmul
 from .deeplab import ASPP, ConvBN, _upsample
-from .fastconv import DepthwiseConv3x3Shift
-
-
-class _Kernel(nn.Module):
-    """Param-tree twin of ``nn.Conv(..., use_bias=False)``: declares the
-    ``kernel`` param (same name/shape/init/dtype) without running the
-    conv, so the fused-sepconv path below reads the raw weights while
-    checkpoints and the ``.pb`` order-zipping converter pour in
-    unchanged (the ShiftMatmulConv3x3 tree-compat idiom)."""
-
-    shape: Tuple[int, ...]
-
-    @nn.compact
-    def __call__(self) -> jax.Array:
-        return self.param("kernel", nn.initializers.lecun_normal(),
-                          self.shape, jnp.float32)
-
-
-class _FoldedBN(nn.Module):
-    """Param-tree twin of ``nn.BatchNorm``: same four variables
-    (params scale/bias, batch_stats mean/var — identical names, shapes,
-    inits), returned pre-folded as the (scale, bias) affine the Pallas
-    kernel consumes (ops/pallas/bottleneck.fold_bn algebra)."""
-
-    features: int
-    epsilon: float = 1e-3
-
-    @nn.compact
-    def __call__(self) -> Tuple[jax.Array, jax.Array]:
-        f = self.features
-        scale = self.param("scale", nn.initializers.ones, (f,),
-                           jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (f,),
-                          jnp.float32)
-        mean = self.variable("batch_stats", "mean",
-                             lambda: jnp.zeros((f,), jnp.float32))
-        var = self.variable("batch_stats", "var",
-                            lambda: jnp.ones((f,), jnp.float32))
-        k = scale / jnp.sqrt(var.value + self.epsilon)
-        return k, bias - mean.value * k
+# Param-tree twins shared with the UNet phase path (fastconv.py):
+# identical variable trees to nn.Conv / nn.BatchNorm, raw/folded values
+# out — the fused-sepconv lowering reads weights through them.
+from .fastconv import (DepthwiseConv3x3Shift, FoldedBNParams as _FoldedBN,
+                       KernelParam as _Kernel)
 
 
 class Int8Conv1x1(nn.Module):
