@@ -71,6 +71,43 @@ try_probe("Q3 row-splitting reshape", k_rowreshape,
           x.reshape(R // 2, 2, W, C)[:, 0], (R // 2, W, C))
 
 
+# bf16 dtype sweep (round-5c finding: the strided_load lowerings above
+# are dtype- AND shape-dependent — all four FAIL on bf16 at the fused
+# sepconv's real shapes, and the f32 both-strided form additionally
+# requires the lane dim to be exactly 128).
+xb = x.astype(jnp.bfloat16)
+
+
+def bf16_probe(name, kernel, want, out_shape):
+    try:
+        got = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.bfloat16),
+        )(xb)
+        ok = np.allclose(np.asarray(got, np.float32),
+                         np.asarray(want, np.float32), atol=1e-2)
+        print(f"{name}: {'OK' if ok else 'WRONG RESULT'}")
+    except Exception as e:  # noqa: BLE001
+        msg = str(e).split("\n")[0][:100]
+        print(f"{name}: FAIL ({type(e).__name__}: {msg})")
+
+
+bf16_probe("Q5 bf16 row-strided",
+           lambda xr, o: o.__setitem__(slice(None), xr[0:R:2, :, :]),
+           xb[0:R:2], (R // 2, W, C))
+bf16_probe("Q5b bf16 sublane-strided",
+           lambda xr, o: o.__setitem__(slice(None), xr[:, 0:W:2, :]),
+           xb[:, 0:W:2], (R, W // 2, C))
+bf16_probe("Q5c bf16 both-strided",
+           lambda xr, o: o.__setitem__(slice(None), xr[0:R:2, 0:W:2, :]),
+           xb[0:R:2, 0:W:2], (R // 2, W // 2, C))
+bf16_probe("Q5d bf16 sublane reshape-split",
+           lambda xr, o: o.__setitem__(
+               slice(None), xr[:].reshape(R, W // 2, 2, C)[:, :, 0, :]),
+           jnp.asarray(xb).reshape(R, W // 2, 2, C)[:, :, 0, :],
+           (R, W // 2, C))
+
+
 def k_halo(x_ref, o_ref, slab):
     slab[:] = jnp.zeros_like(slab)
     slab[1:R + 1, 1:W + 1, :] = x_ref[:]
